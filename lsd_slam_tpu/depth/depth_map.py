@@ -1,0 +1,245 @@
+"""DepthMap orchestrator: the per-keyframe mapping engine.
+
+Mirrors the reference's DepthMap public API (DepthMap.h:53-84):
+update_keyframe / create_keyframe / finalize_keyframe / initialize_randomly /
+initialize_from_gt / set_from_existing_kf / invalidate — with all sweeps as
+compiled jitted programs over DepthMapState and the host only sequencing
+them. The reference's 4-thread row-banding (IndexThreadReduce) is replaced
+by whole-grid vectorization.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lsd_slam_tpu import lie
+from lsd_slam_tpu.camera import Camera
+from lsd_slam_tpu.config import LSDConfig
+from lsd_slam_tpu.depth.state import DepthMapState
+from lsd_slam_tpu.depth import observe as observe_mod
+from lsd_slam_tpu.depth import regularize as reg_mod
+
+
+class DepthMap:
+    """Semi-dense depth filter bound to one camera/config.
+
+    All jitted programs are built once in __init__ and reused across
+    keyframes (static shapes)."""
+
+    def __init__(self, cam: Camera, cfg: LSDConfig):
+        self.cam = cam
+        self.cfg = cfg
+        dcfg, mcfg = cfg.depth, cfg.mapping
+
+        @jax.jit
+        def _observe(state, kf_img, kf_gx, kf_gy, kf_max_grad, ref_img,
+                     ref_to_kf, ref_id, good_mask, tracking_residual,
+                     skip_inc):
+            state, stats = observe_mod.observe(
+                state, kf_img, kf_gx, kf_gy, kf_max_grad, ref_img, ref_to_kf,
+                ref_id, good_mask, tracking_residual, skip_inc,
+                cam, dcfg, mcfg)
+            # post-observe sequence (updateKeyframe, DepthMap.cpp:1129-1153):
+            # fill holes then regularize(keep)
+            state = reg_mod.fill_holes(state, kf_max_grad, dcfg,
+                                       mcfg.min_use_grad)
+            state = reg_mod.regularize(state, False, dcfg.val_sum_min_for_keep,
+                                       dcfg, mcfg.depth_smoothing_factor)
+            return state, stats
+
+        @functools.partial(jax.jit, static_argnames=("have_good_mask",))
+        def _create_kf(state, old_to_new, kf_img, new_img, new_max_grad,
+                       good_mask, have_good_mask):
+            # createKeyFrame sequence (DepthMap.cpp:1222-1306)
+            state = reg_mod.propagate(state, old_to_new, kf_img, new_img,
+                                      new_max_grad, good_mask, have_good_mask,
+                                      cam, dcfg, mcfg)
+            state = reg_mod.regularize(state, True, dcfg.val_sum_min_for_keep,
+                                       dcfg, mcfg.depth_smoothing_factor)
+            state = reg_mod.fill_holes(state, new_max_grad, dcfg,
+                                       mcfg.min_use_grad)
+            state = reg_mod.regularize(state, False, dcfg.val_sum_min_for_keep,
+                                       dcfg, mcfg.depth_smoothing_factor)
+            # renormalize mean inverse depth to 1 (DepthMap.cpp:1285-1306)
+            m = state.valid.astype(jnp.float32)
+            num = jnp.maximum(jnp.sum(m), 1.0)
+            mean_id = jnp.sum(jnp.where(state.valid, state.idepth_smoothed,
+                                        0.0)) / num
+            rescale = 1.0 / jnp.maximum(mean_id, 1e-6)
+            r2 = rescale * rescale
+            state = state.replace(
+                idepth=jnp.where(state.valid, state.idepth * rescale,
+                                 state.idepth),
+                idepth_smoothed=jnp.where(state.valid,
+                                          state.idepth_smoothed * rescale,
+                                          state.idepth_smoothed),
+                var=jnp.where(state.valid, state.var * r2, state.var),
+                var_smoothed=jnp.where(state.valid, state.var_smoothed * r2,
+                                       state.var_smoothed),
+            )
+            return state, rescale
+
+        @jax.jit
+        def _finalize(state, kf_max_grad):
+            # finalizeKeyFrame (DepthMap.cpp:1363-1390)
+            state = reg_mod.fill_holes(state, kf_max_grad, dcfg,
+                                       mcfg.min_use_grad)
+            state = reg_mod.regularize(state, False, dcfg.val_sum_min_for_keep,
+                                       dcfg, mcfg.depth_smoothing_factor)
+            return state
+
+        @jax.jit
+        def _init_random(key, kf_max_grad):
+            h, w = cfg.height, cfg.width
+            idepth = jax.random.uniform(key, (h, w), jnp.float32, 0.5, 1.5)
+            interior = jnp.zeros((h, w), bool).at[1:-1, 1:-1].set(True)
+            valid = interior & (kf_max_grad > mcfg.min_use_grad)
+            return DepthMapState(
+                valid=valid,
+                idepth=jnp.where(valid, idepth, 0.0),
+                var=jnp.where(valid, dcfg.var_random_init_initial, 0.0),
+                # initializeRandomly seeds smoothed values directly
+                # (DepthMap.cpp:897-903 uses the 5-arg ctor)
+                idepth_smoothed=jnp.where(valid, idepth, -1.0),
+                var_smoothed=jnp.where(valid, dcfg.var_random_init_initial,
+                                       -1.0),
+                validity=jnp.where(valid, 20.0, 0.0),
+                blacklisted=jnp.zeros((h, w), jnp.int32),
+                next_min_id=jnp.zeros((h, w), jnp.float32),
+            )
+
+        @jax.jit
+        def _init_gt(gt_idepth, kf_max_grad):
+            h, w = cfg.height, cfg.width
+            interior = jnp.zeros((h, w), bool).at[1:-1, 1:-1].set(True)
+            valid = interior & (kf_max_grad > mcfg.min_use_grad) & (gt_idepth > 0)
+            return DepthMapState(
+                valid=valid,
+                idepth=jnp.where(valid, gt_idepth, 0.0),
+                var=jnp.where(valid, dcfg.var_gt_init_initial, 0.0),
+                idepth_smoothed=jnp.where(valid, gt_idepth, -1.0),
+                var_smoothed=jnp.where(valid, dcfg.var_gt_init_initial, -1.0),
+                validity=jnp.where(valid, 20.0, 0.0),
+                blacklisted=jnp.zeros((h, w), jnp.int32),
+                next_min_id=jnp.zeros((h, w), jnp.float32),
+            )
+
+        @jax.jit
+        def _export(state):
+            # Frame::setDepth (Frame.cpp:199-243): export smoothed values
+            ok = state.valid & (state.idepth_smoothed >= -0.05)
+            idepth0 = jnp.where(ok, state.idepth_smoothed, -1.0)
+            ivar0 = jnp.where(ok, state.var_smoothed, -1.0)
+            num = jnp.maximum(jnp.sum(ok), 1)
+            mean_idepth = jnp.sum(jnp.where(ok, state.idepth_smoothed, 0.0)) / num
+            return idepth0, ivar0, mean_idepth, jnp.sum(ok)
+
+        @jax.jit
+        def _set_from_existing(re_idepth, re_var, re_validity):
+            # setFromExistingKF (DepthMap.cpp:920-962)
+            valid = re_var > 0
+            state = DepthMapState(
+                valid=valid,
+                idepth=jnp.where(valid, re_idepth, 0.0),
+                var=jnp.where(valid, re_var, 0.0),
+                idepth_smoothed=jnp.full_like(re_idepth, -1.0),
+                var_smoothed=jnp.full_like(re_idepth, -1.0),
+                validity=jnp.where(valid, re_validity, 0.0),
+                blacklisted=jnp.where(
+                    ~valid & (re_var == -2.0),
+                    jnp.int32(dcfg.min_blacklist - 1), jnp.int32(0)),
+                next_min_id=jnp.zeros_like(re_idepth),
+            )
+            return reg_mod.regularize(state, False, dcfg.val_sum_min_for_keep,
+                                      dcfg, mcfg.depth_smoothing_factor)
+
+        self._observe = _observe
+        self._create_kf = _create_kf
+        self._finalize = _finalize
+        self._init_random = _init_random
+        self._init_gt = _init_gt
+        self._export = _export
+        self._set_from_existing_jit = _set_from_existing
+
+        self.state: Optional[DepthMapState] = None
+        # reference bookkeeping (SlamSystem increments these)
+        self.num_frames_tracked_on_this = 0
+        self.num_mapped_on_this = 0
+
+    # ------------------------------------------------------------------ API
+
+    def is_valid(self) -> bool:
+        return self.state is not None
+
+    def invalidate(self):
+        self.state = None
+
+    def initialize_randomly(self, kf_max_grad, seed: int = 0):
+        self.state = self._init_random(jax.random.PRNGKey(seed),
+                                       jnp.asarray(kf_max_grad))
+        self.num_frames_tracked_on_this = 0
+        self.num_mapped_on_this = 0
+
+    def initialize_from_gt(self, gt_idepth, kf_max_grad):
+        self.state = self._init_gt(jnp.asarray(gt_idepth),
+                                   jnp.asarray(kf_max_grad))
+        self.num_frames_tracked_on_this = 0
+        self.num_mapped_on_this = 0
+
+    def set_from_existing_kf(self, re_idepth, re_var, re_validity):
+        self.state = self._set_from_existing_jit(
+            jnp.asarray(re_idepth), jnp.asarray(re_var),
+            jnp.asarray(re_validity))
+        self.num_frames_tracked_on_this = 0
+        self.num_mapped_on_this = 0
+
+    def update_keyframe(self, kf_pyr, ref_img, ref_to_kf, ref_id: float,
+                        good_mask, tracking_residual: float):
+        """One observe sweep with one tracked frame (sequential-mode
+        updateKeyframe; DepthMap.cpp:1072-1213)."""
+        # adaptive skip increment (DepthMap.cpp:449-452)
+        skip_inc = max(
+            3.0, self.num_frames_tracked_on_this
+            / float(self.num_mapped_on_this + 5))
+        self.state, stats = self._observe(
+            self.state, kf_pyr.images[0], kf_pyr.gx[0], kf_pyr.gy[0],
+            kf_pyr.max_grad[0], jnp.asarray(ref_img), jnp.asarray(ref_to_kf),
+            jnp.float32(ref_id), jnp.asarray(good_mask),
+            jnp.float32(tracking_residual), jnp.float32(skip_inc))
+        self.num_mapped_on_this += 1
+        return stats
+
+    def create_keyframe(self, old_to_new, old_kf_img, new_pyr, good_mask,
+                        have_good_mask: bool):
+        """Propagate into a new keyframe; returns the idepth rescale factor
+        the caller must absorb into thisToParent (DepthMap.cpp:1285-1306)."""
+        self.state, rescale = self._create_kf(
+            self.state, jnp.asarray(old_to_new), jnp.asarray(old_kf_img),
+            new_pyr.images[0], new_pyr.max_grad[0], jnp.asarray(good_mask),
+            bool(have_good_mask))
+        self.num_frames_tracked_on_this = 0
+        self.num_mapped_on_this = 0
+        return float(rescale)
+
+    def finalize_keyframe(self, kf_max_grad):
+        self.state = self._finalize(self.state, jnp.asarray(kf_max_grad))
+
+    def export_depth(self) -> Tuple[jnp.ndarray, jnp.ndarray, float, int]:
+        """(idepth0, ivar0, mean_idepth, num_points) for Frame::setDepth."""
+        idepth0, ivar0, mean_id, num = self._export(self.state)
+        return idepth0, ivar0, float(mean_id), int(num)
+
+    def reactivation_snapshot(self):
+        """takeReActivationData equivalent (Frame.cpp:107-145): level-0
+        idepth/var/validity arrays for later re-activation."""
+        s = self.state
+        re_var = jnp.where(
+            s.valid, s.var,
+            jnp.where(s.blacklisted < 0, -2.0, -1.0))
+        return (jnp.where(s.valid, s.idepth, 0.0), re_var,
+                jnp.where(s.valid, s.validity, 0.0))

@@ -1,0 +1,446 @@
+"""Epipolar-line stereo observation: the depth filter's hot sweep.
+
+TPU-native re-design of observeDepth / makeAndCheckEPL / doLineStereo /
+observeDepthCreate / observeDepthUpdate (DepthMap.cpp:147-473, 1442-1972):
+
+  * the per-pixel variable-length EPL walk becomes a fixed 34-step masked
+    search over a precomputed 38-sample lattice (bounded by design:
+    MAX_EPL_LENGTH_CROP=30 + 2 extension + padding, settings.h:116-117);
+  * the 14 outcome codes become a small int code lattice;
+  * the 5-tap SSD with alternating A/B buffers (DepthMap.cpp:1671-1750)
+    becomes a length-5 correlation over the sample axis;
+  * subpixel refinement via error-gradient zero crossing
+    (DepthMap.cpp:1767-1848) and the geometric/photometric disparity-error
+    variance model (DepthMap.cpp:1874-1930) are kept exactly;
+  * creation seeds over [0, 1/MIN_DEPTH], EKF update fuses within
+    [prior - 2 sigma, prior + 2 sigma] (STEREO_EPL_VAR_FAC).
+
+One deliberate deviation: the ambiguity check compares the best error
+against the best *non-adjacent* competitor; the reference tracks a running
+second-best that may sit adjacent to the winner (DepthMap.cpp:1761-1765) —
+ours is equivalent except marginally stricter in rare tie cases.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from lsd_slam_tpu import lie
+from lsd_slam_tpu.camera import Camera
+from lsd_slam_tpu.config import DepthFilterConfig, MappingConfig
+from lsd_slam_tpu.ops.interp import bilinear
+from lsd_slam_tpu.depth.state import DepthMapState
+
+_HI = jax.lax.Precision.HIGHEST
+
+MAX_STEPS = 34          # >= MAX_EPL_LENGTH_CROP + 2 extension + rounding
+N_SAMPLES = MAX_STEPS + 4
+
+# outcome codes (match the reference's return values where negative)
+OK = 0
+ERR_OOB = -1            # epl out of bounds -> try again later
+ERR_FAIL = -2           # ambiguous / nan / negative idepth
+ERR_BIG = -3            # error too large
+ERR_NAN = -4            # arithmetic blow-up
+
+_UNZERO_EPS = 1e-10
+_DIV_EPS = 1e-10
+
+
+def _unzero(x):
+    return jnp.where(jnp.abs(x) < _UNZERO_EPS,
+                     jnp.where(x < 0, -_UNZERO_EPS, _UNZERO_EPS), x)
+
+
+def make_epl(t_r2k, kf_img, cam: Camera, cfg: DepthFilterConfig):
+    """Per-pixel epipolar direction in the keyframe + validity checks
+    (== makeAndCheckEPL, DepthMap.cpp:184-234)."""
+    h, w = kf_img.shape
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    epx = -cam.fx * t_r2k[0] + t_r2k[2] * (xs - cam.cx)
+    epy = -cam.fy * t_r2k[1] + t_r2k[2] * (ys - cam.cy)
+    finite = jnp.isfinite(epx + epy)
+
+    lsq = epx * epx + epy * epy
+    ok_len = lsq >= cfg.min_epl_length_squared
+
+    # raw (not halved) central differences, like the reference's direct reads
+    gx = jnp.zeros_like(kf_img).at[:, 1:-1].set(kf_img[:, 2:] - kf_img[:, :-2])
+    gy = jnp.zeros_like(kf_img).at[1:-1, :].set(kf_img[2:, :] - kf_img[:-2, :])
+    dot = gx * epx + gy * epy
+    safe_lsq = jnp.maximum(lsq, _DIV_EPS)
+    egs = dot * dot / safe_lsq
+    ok_grad = egs >= cfg.min_epl_grad_squared
+    ok_angle = egs / jnp.maximum(gx * gx + gy * gy, _DIV_EPS) >= cfg.min_epl_angle_squared
+
+    fac = cfg.gradient_sample_dist / jnp.sqrt(safe_lsq)
+    return (epx * fac, epy * fac), (finite & ok_len & ok_grad & ok_angle)
+
+
+def line_stereo(prior_idepth, min_idepth, max_idepth, epxn, epyn,
+                kf_img, kf_gx, kf_gy, ref_img,
+                kf_to_ref, ref_to_kf, tracking_error_fac,
+                cam: Camera, dcfg: DepthFilterConfig, mcfg: MappingConfig,
+                use_subpixel: bool):
+    """Vectorized doLineStereo over the whole keyframe grid.
+
+    Returns (code, result_idepth, result_var, result_epl_length,
+    best_match_err). All inputs (H, W) except poses/scalars.
+    """
+    h, w = kf_img.shape
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+
+    R_k2r = lie.quat_to_matrix(kf_to_ref[0:4])
+    t_k2r = kf_to_ref[4:7]
+    t_r2k = ref_to_kf[4:7]
+    K = jnp.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1.0]],
+                  jnp.float32)
+    KR = jnp.matmul(K, R_k2r, precision=_HI)       # K_otherToThis_R
+    Kt = jnp.matmul(K, t_k2r, precision=_HI)       # K_otherToThis_t
+
+    # KinvP = ray of the KF pixel
+    kx = (xs - cam.cx) / cam.fx
+    ky = (ys - cam.cy) / cam.fy
+    p_inf = jnp.stack([KR[i, 0] * kx + KR[i, 1] * ky + KR[i, 2]
+                       for i in range(3)], axis=-1)           # (h, w, 3)
+
+    safe_prior = jnp.maximum(prior_idepth, _DIV_EPS)
+    rescale = p_inf[..., 2] + Kt[2] * safe_prior   # == pReal_z * prior
+
+    ok = jnp.ones((h, w), bool)
+    code = jnp.zeros((h, w), jnp.int32)
+
+    def fail(ok, code, cond, c):
+        newly = ok & cond
+        return ok & ~cond, jnp.where(newly, c, code)
+
+    # 5-tap descriptor footprint must stay inside the KF image
+    fx_off = 2 * epxn * rescale
+    fy_off = 2 * epyn * rescale
+    oob_kf = ((xs - fx_off <= 0) | (xs - fx_off >= w - 2)
+              | (ys - fy_off <= 0) | (ys - fy_off >= h - 2)
+              | (xs + fx_off <= 0) | (xs + fx_off >= w - 2)
+              | (ys + fy_off <= 0) | (ys + fy_off >= h - 2))
+    ok, code = fail(ok, code, oob_kf, ERR_OOB)
+    ok, code = fail(ok, code, ~((rescale > 0.7) & (rescale < 1.4)), ERR_OOB)
+
+    # keyframe 5-tap descriptor
+    real_vals = jnp.stack(
+        [bilinear(kf_img, xs + j * epxn * rescale, ys + j * epyn * rescale)
+         for j in (-2, -1, 0, 1, 2)], axis=-1)     # (h, w, 5)
+
+    # near/far endpoints on the EPL in the ref image (DepthMap.cpp:1489-1512)
+    p_close = p_inf + Kt * max_idepth[..., None]
+    behind = p_close[..., 2] < 0.001
+    max_idepth = jnp.where(behind, (0.001 - p_inf[..., 2]) / jnp.where(
+        Kt[2] == 0, _DIV_EPS, Kt[2]), max_idepth)
+    p_close = p_inf + Kt * max_idepth[..., None]
+    pcz = _unzero(p_close[..., 2])
+    p_close = p_close / pcz[..., None]
+
+    p_far = p_inf + Kt * min_idepth[..., None]
+    ok, code = fail(ok, code,
+                    (p_far[..., 2] < 0.001) | (max_idepth < min_idepth),
+                    ERR_OOB)
+    pfz = _unzero(p_far[..., 2])
+    p_far = p_far / pfz[..., None]
+
+    ok, code = fail(ok, code, ~jnp.isfinite(p_far[..., 0] + p_close[..., 0]),
+                    ERR_NAN)
+
+    incx = p_close[..., 0] - p_far[..., 0]
+    incy = p_close[..., 1] - p_far[..., 1]
+    epl_len = jnp.sqrt(incx * incx + incy * incy)
+    ok, code = fail(ok, code, ~(epl_len > 0) | ~jnp.isfinite(epl_len), ERR_NAN)
+    safe_len = jnp.maximum(epl_len, _DIV_EPS)
+
+    # crop to MAX_EPL_LENGTH_CROP
+    crop = epl_len > dcfg.max_epl_length_crop
+    cfac = jnp.where(crop, dcfg.max_epl_length_crop / safe_len, 1.0)
+    pcx = p_far[..., 0] + incx * cfac
+    pcy = p_far[..., 1] + incy * cfac
+
+    incx = incx * dcfg.gradient_sample_dist / safe_len
+    incy = incy * dcfg.gradient_sample_dist / safe_len
+
+    pfx = p_far[..., 0] - incx
+    pfy = p_far[..., 1] - incy
+    pcx = pcx + incx
+    pcy = pcy + incy
+
+    # pad short epls to MIN_EPL_LENGTH_CROP
+    pad = jnp.where(epl_len < dcfg.min_epl_length_crop,
+                    (dcfg.min_epl_length_crop - epl_len) / 2.0, 0.0)
+    pfx = pfx - incx * pad
+    pfy = pfy - incy * pad
+    pcx = pcx + incx * pad
+    pcy = pcy + incy * pad
+
+    b = float(dcfg.sample_point_to_border)
+    ok, code = fail(ok, code,
+                    (pfx <= b) | (pfx >= w - b) | (pfy <= b) | (pfy >= h - b),
+                    ERR_OOB)
+
+    # near point outside: clamp along the line (DepthMap.cpp:1566-1613)
+    sx = _unzero(incx)
+    sy = _unzero(incy)
+    to_add = jnp.where(pcx <= b, (b - pcx) / sx,
+                       jnp.where(pcx >= w - b, (w - b - pcx) / sx, 0.0))
+    pcx = pcx + to_add * incx
+    pcy = pcy + to_add * incy
+    to_add = jnp.where(pcy <= b, (b - pcy) / sy,
+                       jnp.where(pcy >= h - b, (h - b - pcy) / sy, 0.0))
+    pcx = pcx + to_add * incx
+    pcy = pcy + to_add * incy
+    new_len = jnp.sqrt((pcx - pfx) ** 2 + (pcy - pfy) ** 2)
+    ok, code = fail(ok, code,
+                    (pcx <= b) | (pcx >= w - b) | (pcy <= b) | (pcy >= h - b)
+                    | (new_len < 8.0), ERR_OOB)
+
+    n_steps = jnp.clip(jnp.floor(new_len + 1e-3).astype(jnp.int32) + 1,
+                       1, MAX_STEPS)
+
+    # ---- sample lattice + 5-tap SSD over the masked search window ----
+    ms = jnp.arange(N_SAMPLES, dtype=jnp.float32) - 2.0   # (S,)
+    qx = pfx[..., None] + ms * incx[..., None]
+    qy = pfy[..., None] + ms * incy[..., None]
+    samp = bilinear(ref_img, qx, qy)                      # (h, w, S)
+
+    ee = jnp.zeros((h, w, MAX_STEPS), jnp.float32)
+    for j in range(5):
+        d = samp[..., j:j + MAX_STEPS] - real_vals[..., j:j + 1]
+        ee = ee + d * d
+
+    ks = jnp.arange(MAX_STEPS)
+    in_search = ks[None, None, :] < n_steps[..., None]
+    ee_m = jnp.where(in_search, ee, jnp.inf)
+    best_k = jnp.argmin(ee_m, axis=-1)
+    best_err = jnp.take_along_axis(ee_m, best_k[..., None], -1)[..., 0]
+
+    nonadj = in_search & (jnp.abs(ks[None, None, :] - best_k[..., None]) > 1)
+    second_err = jnp.min(jnp.where(nonadj, ee, jnp.inf), axis=-1)
+
+    ok, code = fail(ok, code, best_err > 4.0 * dcfg.max_error_stereo, ERR_BIG)
+    ok, code = fail(ok, code,
+                    dcfg.min_distance_error_stereo * best_err > second_err,
+                    ERR_FAIL)
+
+    # ---- subpixel refinement (DepthMap.cpp:1767-1848) ----
+    def errs_at(k):
+        idx = jnp.clip(k, 0, MAX_STEPS - 1)
+        e = jnp.stack(
+            [jnp.take_along_axis(samp, (idx + j)[..., None], -1)[..., 0]
+             - real_vals[..., j] for j in range(5)], axis=-1)
+        return e  # (h, w, 5) residual vector at step k (samp index k..k+4)
+
+    e_best = errs_at(best_k)
+    e_pre = errs_at(best_k - 1)
+    e_post = errs_at(best_k + 1)
+    err_pre = jnp.sum(e_pre * e_pre, -1)
+    err_post = jnp.sum(e_post * e_post, -1)
+    cross_pre = jnp.sum(e_best * e_pre, -1)
+    cross_post = jnp.sum(e_best * e_post, -1)
+
+    valid_pre = best_k >= 1
+    valid_post = (best_k + 1) < n_steps
+
+    grad_pre_pre = -(err_pre - cross_pre)
+    grad_pre_this = best_err - cross_pre
+    grad_post_this = -(best_err - cross_post)
+    grad_post_post = err_post - cross_post
+
+    both_valid = valid_pre & valid_post
+    crossing_mid = (grad_post_this < 0) ^ (grad_pre_this < 0)
+    crossing_pre = (grad_pre_pre < 0) ^ (grad_pre_this < 0)
+    crossing_post = (grad_post_post < 0) ^ (grad_post_this < 0)
+
+    interp_pre = both_valid & ~crossing_mid & crossing_pre & ~crossing_post
+    interp_post = (both_valid & ~crossing_mid & ~crossing_pre & crossing_post)
+
+    d_pre = grad_pre_this / _unzero(grad_pre_this - grad_pre_pre)
+    d_post = grad_post_this / _unzero(grad_post_this - grad_post_post)
+
+    if use_subpixel:
+        sub_off = jnp.where(interp_pre, -d_pre,
+                            jnp.where(interp_post, d_post, 0.0))
+        did_sub = interp_pre | interp_post
+        best_err = jnp.where(
+            interp_pre,
+            best_err - 2 * d_pre * grad_pre_this
+            - (grad_pre_pre - grad_pre_this) * d_pre * d_pre,
+            jnp.where(
+                interp_post,
+                best_err + 2 * d_post * grad_post_this
+                + (grad_post_post - grad_post_this) * d_post * d_post,
+                best_err))
+    else:
+        sub_off = jnp.zeros_like(best_err)
+        did_sub = jnp.zeros_like(valid_pre)
+
+    pos = best_k.astype(jnp.float32) + sub_off
+    best_x = pfx + pos * incx
+    best_y = pfy + pos * incy
+
+    # gradient along the searched line in the KF (DepthMap.cpp:1854-1862)
+    sample_dist = dcfg.gradient_sample_dist * rescale
+    gal = jnp.zeros_like(best_err)
+    for j in range(4):
+        t = real_vals[..., j + 1] - real_vals[..., j]
+        gal = gal + t * t
+    gal = gal / jnp.maximum(sample_dist * sample_dist, _DIV_EPS)
+
+    ok, code = fail(ok, code,
+                    best_err > dcfg.max_error_stereo + jnp.sqrt(gal) * 20.0,
+                    ERR_BIG)
+
+    # ---- triangulate inverse depth in the KF (DepthMap.cpp:1872-1904) ----
+    dot0 = R_k2r[0, 0] * kx + R_k2r[0, 1] * ky + R_k2r[0, 2]
+    dot1 = R_k2r[1, 0] * kx + R_k2r[1, 1] * ky + R_k2r[1, 2]
+    dot2 = R_k2r[2, 0] * kx + R_k2r[2, 1] * ky + R_k2r[2, 2]
+
+    use_x = incx * incx > incy * incy
+    old_x = best_x / cam.fx - cam.cx / cam.fx
+    old_y = best_y / cam.fy - cam.cy / cam.fy
+    nom_x = _unzero(old_x * t_k2r[2] - t_k2r[0])
+    nom_y = _unzero(old_y * t_k2r[2] - t_k2r[1])
+    id_x = (dot0 - old_x * dot2) / nom_x
+    id_y = (dot1 - old_y * dot2) / nom_y
+    alpha_x = incx / cam.fx * (dot0 * t_k2r[2] - dot2 * t_k2r[0]) / (nom_x * nom_x)
+    alpha_y = incy / cam.fy * (dot1 * t_k2r[2] - dot2 * t_k2r[1]) / (nom_y * nom_y)
+    idepth_new = jnp.where(use_x, id_x, id_y)
+    alpha = jnp.where(use_x, alpha_x, alpha_y)
+
+    if not mcfg.allow_negative_idepths:
+        ok, code = fail(ok, code, idepth_new < 0, ERR_FAIL)
+
+    # ---- variance model (DepthMap.cpp:1911-1930) ----
+    photo_err = 4.0 * mcfg.camera_pixel_noise2 / (gal + _DIV_EPS)
+    geo_dot = kf_gx * epxn + kf_gy * epyn + _DIV_EPS
+    geo_err = (tracking_error_fac * tracking_error_fac
+               * (kf_gx * kf_gx + kf_gy * kf_gy) / (geo_dot * geo_dot))
+    disc = jnp.where(did_sub, 0.05, 0.5) * sample_dist * sample_dist
+    result_var = alpha * alpha * (disc + geo_err + photo_err)
+
+    code = jnp.where(ok, OK, code)
+    return code, idepth_new, result_var, epl_len, best_err
+
+
+def observe(state: DepthMapState, kf_img, kf_gx, kf_gy, kf_max_grad,
+            ref_img, ref_to_kf, ref_frame_id, good_mask,
+            tracking_residual, skip_inc,
+            cam: Camera, dcfg: DepthFilterConfig, mcfg: MappingConfig,
+            reactivated: bool = False):
+    """One observation sweep against one tracked frame.
+
+    == observeDepthRow create/update dispatch (DepthMap.cpp:105-473) with
+    the whole grid in flight. Returns (new_state, stats)."""
+    h, w = kf_img.shape
+    kf_to_ref = lie.se3_inverse(ref_to_kf)
+    t_r2k = ref_to_kf[4:7]
+
+    (epxn, epyn), epl_ok = make_epl(t_r2k, kf_img, cam, dcfg)
+
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    interior = ((ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3))
+    active = interior & (kf_max_grad >= mcfg.min_use_grad) & good_mask
+
+    can_update = state.valid & active
+    if not reactivated:
+        can_update = can_update & (state.next_min_id <= ref_frame_id)
+    can_create = (~state.valid) & active & (state.blacklisted >= dcfg.min_blacklist)
+
+    # priors: update searches prior +- STEREO_EPL_VAR_FAC sigma
+    # (DepthMap.cpp:336-341); create searches the full range
+    sv = jnp.sqrt(jnp.maximum(state.var_smoothed, 0.0))
+    upd_prior = state.idepth_smoothed
+    upd_min = jnp.clip(upd_prior - sv * dcfg.stereo_epl_var_fac, 0.0, None)
+    upd_max = jnp.minimum(upd_prior + sv * dcfg.stereo_epl_var_fac,
+                          1.0 / dcfg.min_depth)
+    prior = jnp.where(can_update, upd_prior, 1.0)
+    min_id = jnp.where(can_update, upd_min, 0.0)
+    max_id = jnp.where(can_update, upd_max, 1.0 / dcfg.min_depth)
+
+    tef = 0.25 * (1.0 + tracking_residual)
+    code, r_idepth, r_var, r_epl, _ = line_stereo(
+        prior, min_id, max_id, epxn, epyn, kf_img, kf_gx, kf_gy, ref_img,
+        kf_to_ref, ref_to_kf, tef, cam, dcfg, mcfg, mcfg.use_subpixel_stereo)
+
+    code = jnp.where(epl_ok, code, ERR_OOB)  # epl-check failures: skip quietly
+    success = code == OK
+
+    # ---------------- create path (DepthMap.cpp:237-292) ----------------
+    create_try = can_create & epl_ok
+    create_success = create_try & success & (r_var <= dcfg.max_var)
+    create_blacklist = create_try & ((code == ERR_BIG) | (code == ERR_FAIL))
+
+    # ---------------- update path (DepthMap.cpp:344-470) ----------------
+    upd_try = can_update & epl_ok
+    upd_fail = upd_try & (code == ERR_FAIL)
+    diff = r_idepth - state.idepth_smoothed
+    inconsistent = (upd_try & success
+                    & (dcfg.diff_fac_observe * diff * diff
+                       > r_var + state.var_smoothed))
+    upd_success = upd_try & success & ~inconsistent
+
+    # EKF fusion (DepthMap.cpp:430-444)
+    id_var = state.var * dcfg.succ_var_inc_fac
+    wgt = r_var / jnp.maximum(r_var + id_var, _DIV_EPS)
+    fused_idepth = _unzero((1.0 - wgt) * r_idepth + wgt * state.idepth)
+    fused_var = jnp.minimum(id_var * wgt, state.var)
+
+    validity_cap = (dcfg.validity_counter_max
+                    + kf_max_grad * dcfg.validity_counter_max_variable / 255.0)
+
+    new_idepth = jnp.where(create_success, _unzero(r_idepth),
+                           jnp.where(upd_success, fused_idepth, state.idepth))
+    new_var = jnp.where(create_success, r_var,
+                        jnp.where(upd_success, fused_var, state.var))
+
+    # failed update: inflate variance, maybe kill (DepthMap.cpp:369-389,414)
+    fail_like = upd_fail | inconsistent
+    new_var = jnp.where(fail_like, new_var * dcfg.fail_var_inc_fac, new_var)
+    killed = fail_like & (new_var > dcfg.max_var)
+
+    new_valid = (state.valid | create_success) & ~killed
+    new_validity = jnp.where(
+        create_success, float(dcfg.validity_counter_initial_observe),
+        jnp.where(upd_success,
+                  jnp.minimum(state.validity + dcfg.validity_counter_inc,
+                              validity_cap),
+                  jnp.where(upd_fail,
+                            jnp.maximum(state.validity
+                                        - dcfg.validity_counter_dec, 0.0),
+                            state.validity)))
+    new_blacklisted = (state.blacklisted
+                       - create_blacklist.astype(jnp.int32)
+                       - (killed & upd_fail).astype(jnp.int32))
+
+    # adaptive frame skipping for short epls (DepthMap.cpp:447-463)
+    short_epl = r_epl < dcfg.min_epl_length_crop
+    inc = skip_inc + jnp.mod((r_epl * 10000.0).astype(jnp.int32), 2).astype(jnp.float32)
+    inc = jnp.where(r_epl < 0.5 * dcfg.min_epl_length_crop, inc * 3.0, inc)
+    new_next_min = jnp.where(upd_success & short_epl, ref_frame_id + inc,
+                             jnp.where(upd_fail, 0.0, state.next_min_id))
+
+    new_state = state.replace(
+        valid=new_valid,
+        idepth=new_idepth,
+        var=new_var,
+        validity=new_validity,
+        blacklisted=new_blacklisted,
+        next_min_id=new_next_min,
+    )
+    stats = dict(
+        created=jnp.sum(create_success),
+        updated=jnp.sum(upd_success),
+        update_failed=jnp.sum(upd_fail),
+        inconsistent=jnp.sum(inconsistent),
+        killed=jnp.sum(killed),
+        oob=jnp.sum((code == ERR_OOB) & (upd_try | create_try)),
+        blacklisted=jnp.sum(create_blacklist),
+    )
+    return new_state, stats

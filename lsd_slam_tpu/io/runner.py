@@ -1,0 +1,82 @@
+"""dataset_slam: run the engine over an image folder.
+
+== main_on_images.cpp: `python -m lsd_slam_tpu.io.runner files:<dir>
+calib:<file> [hz:0] [out:<dir>] [vo]`. hz:0 is the deterministic
+sequential mode (README.md:139); this build's hz=0 path is fully
+deterministic (the reference's is not, README.md:241).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def parse_args(argv):
+    args = {"hz": 0.0, "out": "lsd_out", "vo": False}
+    for a in argv:
+        if a.startswith("files:"):
+            args["files"] = a[6:]
+        elif a.startswith("calib:"):
+            args["calib"] = a[6:]
+        elif a.startswith("hz:"):
+            args["hz"] = float(a[3:])
+        elif a.startswith("out:"):
+            args["out"] = a[4:]
+        elif a == "vo":
+            args["vo"] = True
+    return args
+
+
+def main(argv=None):
+    from lsd_slam_tpu.config import LSDConfig
+    from lsd_slam_tpu.system import SlamSystem
+    from lsd_slam_tpu.io.dataset import ImageFolderSource
+    from lsd_slam_tpu.io.trajectory import save_tum_trajectory
+    from lsd_slam_tpu.io.output import FileOutput3DWrapper, export_ply
+
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+    src = ImageFolderSource(args["files"], args.get("calib"))
+    cam = src.camera
+    if cam is None:
+        raise SystemExit("need calib:<file>")
+
+    cfg = LSDConfig(width=cam.width, height=cam.height)
+    system = SlamSystem(cam, cfg, enable_slam=not args["vo"])
+    out = FileOutput3DWrapper(args["out"])
+
+    t_start = time.time()
+    n = 0
+    for i, ts, img in src:
+        if i == 0:
+            system.random_init(img, i, ts)
+        else:
+            pose = system.track_frame(img, i, ts)
+            if pose is not None:
+                out.publish_tracked_frame(i, ts, pose)
+        n += 1
+        if n % 30 == 0:
+            el = time.time() - t_start
+            print(f"frame {n}/{len(src)}  {n/el:.1f} fps  "
+                  f"kfs={len(system.keyframes)}", flush=True)
+
+    system.finalize()
+    for kf in system.keyframes:
+        out.publish_keyframe(kf)
+    if system.backend is not None and system.backend._graph is not None:
+        out.publish_keyframe_graph(system.keyframes,
+                                   system.backend.graph.edges)
+    save_tum_trajectory(os.path.join(args["out"], "estimated_poses.txt"),
+                        system.trajectory)
+    n_pts = export_ply(os.path.join(args["out"], "pointcloud.ply"),
+                       system.keyframes, cam)
+    el = time.time() - t_start
+    print(f"done: {n} frames in {el:.1f}s ({n/el:.1f} fps), "
+          f"{len(system.keyframes)} keyframes, {n_pts} points", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""SLAM back-end orchestration: constraint search + pose-graph optimization.
+
+Sequential-mode equivalent of the reference's constraint-search and
+optimization threads (SlamSystem.cpp:266-381): after each new keyframe,
+search Sim(3) constraints against candidate keyframes and run pose-graph
+slices; merge optimized poses back before the next mapping step
+(mergeOptimizationOffset, SlamSystem.cpp:176-202).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, TYPE_CHECKING
+
+import numpy as np
+
+from lsd_slam_tpu.lie import np_sim3 as nps
+
+if TYPE_CHECKING:
+    from lsd_slam_tpu.system.slam_system import SlamSystem, TrackedFrame
+    from lsd_slam_tpu.system.keyframe import Keyframe
+
+
+class MappingBackend:
+    """Owns the keyframe graph, constraint tracker and optimizer."""
+
+    def __init__(self, system: "SlamSystem"):
+        self.system = system
+        self._constraint_searcher = None
+        self._graph = None
+        self._have_unmerged = False
+
+    # lazily build the heavy pieces (Sim3 tracker compile) on first KF
+    def _ensure(self):
+        if self._graph is None:
+            from lsd_slam_tpu.mapping.keyframe_graph import KeyFrameGraph
+            self._graph = KeyFrameGraph(self.system)
+        return self._graph
+
+    @property
+    def graph(self):
+        return self._ensure()
+
+    def on_new_keyframe(self, kf: "Keyframe"):
+        graph = self._ensure()
+        graph.add_keyframe(kf)
+        n_added = graph.find_constraints_for_new_keyframe(
+            kf, force_parent=True)
+        if n_added > 0 or True:
+            changed = graph.optimize_slices()
+            if changed:
+                self._have_unmerged = True
+
+    def merge_optimization_offset(self):
+        """Apply staged graph-opt results (SlamSystem.cpp:176-202)."""
+        if not self._have_unmerged or self._graph is None:
+            return
+        needs_publish = False
+        for kf in self.system.keyframes:
+            if kf.pose.apply_graph_opt_result():
+                needs_publish = True
+        if needs_publish:
+            self.system.registry.invalidate_all()
+        self._have_unmerged = False
+
+    def find_reposition_candidate(self, tracked, max_score: float):
+        if self._graph is None:
+            return None
+        return self._graph.find_reposition_candidate(tracked, max_score)
+
+    def relocalize(self, pyr, frame_id, timestamp):
+        if self._graph is None:
+            return None
+        return self._graph.relocalize(pyr)
+
+    def finalize(self):
+        """Final full optimization (SlamSystem.cpp:225-263)."""
+        if self._graph is None:
+            return
+        self._graph.optimize_final()
+        self._have_unmerged = True
+        self.merge_optimization_offset()

@@ -1,0 +1,526 @@
+"""Keyframe graph: candidate search, Sim(3) constraint pipeline, PGO glue.
+
+Combines the roles of KeyFrameGraph (src/GlobalMapping/KeyFrameGraph.{h,cpp}),
+TrackableKeyFrameSearch (TrackableKeyFrameSearch.{h,cpp}) and the
+constraint-acceptance pipeline of SlamSystem
+(findConstraintsForNewKeyFrames / testConstraint / tryTrackSim3,
+SlamSystem.cpp:1043-1587) in sequential form. Device work (quick SE3
+pre-checks, full Sim3 reciprocal tracking, pose-graph assembly) runs as
+compiled programs; irregular bookkeeping (neighbor sets, Dijkstra,
+failed-constraint memory) stays host-side.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+import random
+from typing import Dict, List, Optional, Set, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from lsd_slam_tpu.lie import np_sim3 as nps
+from lsd_slam_tpu.tracking.sim3_tracker import Sim3Tracker
+from lsd_slam_tpu.tracking.quick_tracker import QuickTracker
+from lsd_slam_tpu.mapping.pose_graph import PoseGraph
+
+
+class Constraint:
+    """== KFConstraintStruct (KeyFrameGraph.h:42-78)."""
+
+    __slots__ = ("first", "second", "second_to_first", "information",
+                 "huber_delta", "mean_residual", "mean_residual_d",
+                 "mean_residual_p", "usage", "reciprocal_consistency")
+
+    def __init__(self, first, second, second_to_first, information,
+                 huber_delta, mean_residual=0.0, mean_residual_d=0.0,
+                 mean_residual_p=0.0, usage=0.0, reciprocal_consistency=0.0):
+        self.first = first
+        self.second = second
+        self.second_to_first = second_to_first
+        self.information = information
+        self.huber_delta = huber_delta
+        self.mean_residual = mean_residual
+        self.mean_residual_d = mean_residual_d
+        self.mean_residual_p = mean_residual_p
+        self.usage = usage
+        self.reciprocal_consistency = reciprocal_consistency
+
+
+class KeyFrameGraph:
+    def __init__(self, system):
+        self.system = system
+        cam = system.cam
+        cfg = system.cfg
+        self.sim3_tracker = Sim3Tracker(cam, cfg.sim3_tracker,
+                                        sigma2=cfg.mapping.camera_pixel_noise2)
+        self.quick_tracker = QuickTracker(cam, cfg.tracker,
+                                          sigma2=cfg.mapping.camera_pixel_noise2)
+        self.pose_graph = PoseGraph()
+        self.kf_to_vertex: Dict[int, int] = {}     # kf.id -> vertex idx
+        self.neighbors: Dict[int, Set[int]] = {}   # kf.id -> set of kf.id
+        self.edges: List[Constraint] = []
+        self.last_constraint_tracked_c2w: Dict[int, np.ndarray] = {}
+        self._rng = random.Random(0)
+        # field of view for the candidate angle check
+        self.fow_x = 2.0 * math.atan(cam.width / (cam.fx * 2.0))
+        self.fow_y = 2.0 * math.atan(cam.height / (cam.fy * 2.0))
+
+    # ------------------------------------------------------------ vertices
+
+    def add_keyframe(self, kf):
+        """== KeyFrameGraph::addKeyFrame (KeyFrameGraph.cpp:234-255)."""
+        if kf.id in self.kf_to_vertex:
+            return
+        fixed = kf.pose.parent is None
+        vid = self.pose_graph.add_vertex(kf.pose.cam_to_world(), fixed=fixed)
+        self.kf_to_vertex[kf.id] = vid
+        self.neighbors.setdefault(kf.id, set())
+        kf.pose.is_in_graph = True
+
+    def insert_constraint(self, c: Constraint):
+        """== insertConstraint (KeyFrameGraph.cpp:258-294)."""
+        self.add_keyframe(c.first)
+        self.add_keyframe(c.second)
+        self.pose_graph.add_edge(
+            self.kf_to_vertex[c.first.id], self.kf_to_vertex[c.second.id],
+            c.second_to_first, c.information, c.huber_delta)
+        self.edges.append(c)
+        self.neighbors[c.first.id].add(c.second.id)
+        self.neighbors[c.second.id].add(c.first.id)
+        c.first.edge_error_sum += c.mean_residual
+        c.first.edges_num += 1
+        c.second.edge_error_sum += c.mean_residual
+        c.second.edges_num += 1
+
+    # ------------------------------------------------------------ dijkstra
+
+    def graph_distances_from(self, start_kf) -> Dict[int, int]:
+        """Hop-count Dijkstra (calculateGraphDistancesToFrame,
+        KeyFrameGraph.cpp:340-374)."""
+        dist = {start_kf.id: 0}
+        pq = [(0, start_kf.id)]
+        while pq:
+            d, fid = heapq.heappop(pq)
+            if d > dist.get(fid, 1 << 30):
+                continue
+            for nid in self.neighbors.get(fid, ()):
+                nd = d + 1
+                if nd < dist.get(nid, 1 << 30):
+                    dist[nid] = nd
+                    heapq.heappush(pq, (nd, nid))
+        return dist
+
+    # ------------------------------------------------------------ search
+
+    def find_euclidean_overlap_frames(self, frame_c2w, mean_idepth,
+                                      distance_th, angle_th,
+                                      check_both_scales=False):
+        """== findEuclideanOverlapFrames (TrackableKeyFrameSearch.cpp:56-98).
+        Returns [(kf, dist_sq, ref_to_frame SE3)]."""
+        cos_angle_th = math.cos(angle_th * 0.5 * (self.fow_x + self.fow_y))
+        pos = frame_c2w[4:7]
+        view = nps.quat_to_matrix(frame_c2w[0:4])[:, 2]
+        dist_fac_recip = mean_idepth / frame_c2w[7]
+
+        out = []
+        for kf in self.system.keyframes:
+            c2w = kf.pose.cam_to_world()
+            dist_fac = kf.mean_idepth / c2w[7]
+            if check_both_scales and dist_fac_recip < dist_fac:
+                dist_fac = dist_fac_recip
+            d = (pos - c2w[4:7]) * dist_fac
+            d2 = float(d @ d)
+            if d2 > distance_th:
+                continue
+            other_view = nps.quat_to_matrix(c2w[0:4])[:, 2]
+            if float(other_view @ view) < cos_angle_th:
+                continue
+            ref_to_frame = nps.se3_from_sim3(
+                nps.sim3_mul(nps.sim3_inverse(c2w), frame_c2w))
+            # the reference stores refToFrame = (kf^-1 * frame).inverse()
+            # inverted again at use; keep frame-in-kf ("frameToRef") inverse:
+            out.append((kf, d2, nps.se3_inverse(ref_to_frame)))
+        return out
+
+    def find_candidates(self, kf, closeness_th: float):
+        """== findCandidates (TrackableKeyFrameSearch.cpp:174-203):
+        Euclidean union appearance-based (latter optional/off)."""
+        kcfg = self.system.cfg.keyframe
+        c2w = kf.pose.cam_to_world()
+        frames = self.find_euclidean_overlap_frames(
+            c2w, kf.mean_idepth,
+            closeness_th * 15.0 / (kcfg.kf_dist_weight ** 2),
+            1.0 - 0.25 * closeness_th, check_both_scales=True)
+        return {f.id: f for f, _, _ in frames}
+
+    def find_reposition_candidate(self, tracked, max_score: float):
+        """== findRePositionCandidate (TrackableKeyFrameSearch.cpp:103-172)."""
+        if tracked is None:
+            return None
+        kcfg = self.system.cfg.keyframe
+        c2w = tracked.pose.cam_to_world()
+        # tracked frames: meanIdepth of their parent KF is the best proxy
+        parent = self.system.id_to_keyframe.get(tracked.parent_kf_id)
+        mean_id = parent.mean_idepth if parent else 1.0
+        cands = self.find_euclidean_overlap_frames(
+            c2w, mean_id, max_score / (kcfg.kf_dist_weight ** 2), 0.75)
+
+        best = None
+        best_score = max_score
+        for kf, dist_sq, ref_to_frame in cands:
+            if kf.id == tracked.parent_kf_id:
+                continue
+            if kf.idx_in_keyframes < kcfg.initialization_phase_count:
+                continue
+            usage = self.quick_tracker.check_overlap(
+                kf.tracking_ref, tracked.pyr, ref_to_frame)
+            score = self.system._ref_frame_score(dist_sq, usage)
+            if score < max_score:
+                res = self.quick_tracker.track(kf.tracking_ref, tracked.pyr,
+                                               ref_to_frame)
+                tracked_pose = np.asarray(res.ref_to_frame, np.float64)
+                dist = tracked_pose[4:7] * kf.mean_idepth
+                new_score = self.system._ref_frame_score(
+                    float(dist @ dist), float(res.point_usage))
+                discrepancy = nps.sim3_log_norm(nps.sim3_from_se3(
+                    nps.se3_mul(ref_to_frame, nps.se3_inverse(tracked_pose))))
+                good = float(res.good_count)
+                bad = float(res.bad_count)
+                good_val = float(res.point_usage) * good / max(good + bad, 1.0)
+                if (bool(res.tracking_good)
+                        and good_val > kcfg.relocalization_th
+                        and new_score < best_score and discrepancy < 0.2):
+                    best_score = score
+                    best = kf
+        return best
+
+    # ------------------------------------------------------------ sim3
+
+    def try_track_sim3(self, kf_a, kf_b, lvl_start, lvl_end, a_to_b, b_to_a,
+                       want_edges: bool):
+        """== tryTrackSim3 (SlamSystem.cpp:1043-1126): reciprocal Sim3
+        tracking + Mahalanobis consistency."""
+        res_ba = self.sim3_tracker.track(
+            kf_a.tracking_ref, kf_b.tracking_ref, b_to_a, lvl_start, lvl_end)
+        b_to_a_new = np.asarray(res_ba.ref_to_frame, np.float64)
+        info_ba = np.asarray(res_ba.hessian, np.float64)
+        if (bool(res_ba.diverged) or b_to_a_new[7] > 1e10
+                or b_to_a_new[7] < 1e-10 or info_ba[0, 0] == 0
+                or info_ba[6, 6] == 0):
+            return 1e20, a_to_b, b_to_a, None, None
+
+        res_ab = self.sim3_tracker.track(
+            kf_b.tracking_ref, kf_a.tracking_ref, a_to_b, lvl_start, lvl_end)
+        a_to_b_new = np.asarray(res_ab.ref_to_frame, np.float64)
+        info_ab = np.asarray(res_ab.hessian, np.float64)
+        if (bool(res_ab.diverged) or a_to_b_new[7] > 1e10
+                or a_to_b_new[7] < 1e-10 or info_ab[0, 0] == 0
+                or info_ab[6, 6] == 0):
+            return 1e20, a_to_b, b_to_a, None, None
+
+        # reciprocal Mahalanobis consistency (SlamSystem.cpp:1093-1099)
+        from lsd_slam_tpu import lie as jlie
+        adj = np.asarray(
+            jlie.sim3_adjoint(jnp.asarray(a_to_b_new, jnp.float32)), np.float64)
+        try:
+            diff_hesse = np.linalg.inv(np.linalg.inv(info_ab)
+                                       + adj @ np.linalg.inv(info_ba) @ adj.T)
+        except np.linalg.LinAlgError:
+            return 1e20, a_to_b_new, b_to_a_new, None, None
+        diff = np.asarray(
+            jlie.sim3_log(jnp.asarray(
+                nps.sim3_mul(a_to_b_new, b_to_a_new), jnp.float32)), np.float64)
+        consistency = float(diff @ diff_hesse @ diff)
+
+        e1 = e2 = None
+        if want_edges:
+            e1 = Constraint(kf_a, kf_b, b_to_a_new, info_ba, 0.0,
+                            float(res_ba.last_residual),
+                            float(res_ba.depth_residual),
+                            float(res_ba.photo_residual),
+                            float(res_ba.point_usage), consistency)
+            e2 = Constraint(kf_b, kf_a, a_to_b_new, info_ab, 0.0,
+                            float(res_ab.last_residual),
+                            float(res_ab.depth_residual),
+                            float(res_ab.photo_residual),
+                            float(res_ab.point_usage), consistency)
+        return consistency, a_to_b_new, b_to_a_new, e1, e2
+
+    def test_constraint(self, new_kf, candidate, candidate_to_frame_init,
+                        strictness: float):
+        """== testConstraint (SlamSystem.cpp:1129-1216): coarse-to-fine
+        acceptance at levels 3 / 2 / 1."""
+        kcfg = self.system.cfg.keyframe
+        c_to_f = np.asarray(candidate_to_frame_init, np.float64)
+        f_to_c = nps.sim3_inverse(c_to_f)
+
+        err3, f_to_c, c_to_f, _, _ = self.try_track_sim3(
+            new_kf, candidate, 4, 3, f_to_c, c_to_f, want_edges=False)
+        if err3 > kcfg.constraint_err_lvl3 * strictness:
+            self._record_failure(new_kf, candidate, candidate_to_frame_init)
+            return None, None
+
+        err2, f_to_c, c_to_f, _, _ = self.try_track_sim3(
+            new_kf, candidate, 2, 2, f_to_c, c_to_f, want_edges=False)
+        if err2 > kcfg.constraint_err_lvl2 * strictness:
+            self._record_failure(new_kf, candidate, candidate_to_frame_init)
+            return None, None
+
+        err1, f_to_c, c_to_f, e1, e2 = self.try_track_sim3(
+            new_kf, candidate, 1, 1, f_to_c, c_to_f, want_edges=True)
+        if err1 > kcfg.constraint_err_lvl1 * strictness:
+            self._record_failure(new_kf, candidate, candidate_to_frame_init)
+            return None, None
+
+        kernel_delta = 5.0 * math.sqrt(
+            6000.0 * kcfg.loop_closure_strictness)
+        e1.huber_delta = kernel_delta
+        e2.huber_delta = kernel_delta
+        return e1, e2
+
+    def _record_failure(self, kf, candidate, init_estimate):
+        kf.tracking_failed.setdefault(candidate.id, []).append(
+            np.asarray(init_estimate, np.float64))
+
+    # ------------------------------------------------------------ pipeline
+
+    def find_constraints_for_new_keyframe(self, new_kf, force_parent=True,
+                                          close_candidates_th=1.0) -> int:
+        """== findConstraintsForNewKeyFrames (SlamSystem.cpp:1218-1587)."""
+        sys = self.system
+        kcfg = sys.cfg.keyframe
+        parent_kf = (sys.id_to_keyframe.get(new_kf.pose.parent.frame_id)
+                     if new_kf.pose.parent is not None else None)
+
+        if parent_kf is None:
+            self.add_keyframe(new_kf)
+            return 0
+
+        if not force_parent:
+            last = self.last_constraint_tracked_c2w.get(new_kf.id)
+            if last is not None:
+                d = nps.sim3_log_norm(
+                    nps.sim3_mul(last, nps.sim3_inverse(
+                        new_kf.pose.cam_to_world())))
+                if d < 0.01:
+                    return 0
+        self.last_constraint_tracked_c2w[new_kf.id] = \
+            new_kf.pose.cam_to_world().copy()
+
+        candidates = self.find_candidates(new_kf, close_candidates_th)
+        my_neighbors = self.neighbors.get(new_kf.id, set())
+        candidates = {fid: f for fid, f in candidates.items()
+                      if fid not in my_neighbors}
+
+        new_c2w = new_kf.pose.cam_to_world()
+        init_map = {
+            fid: nps.sim3_mul(nps.sim3_inverse(new_c2w),
+                              f.pose.cam_to_world())
+            for fid, f in candidates.items()}
+        distances = self.graph_distances_from(parent_kf)
+
+        # -------- close candidates: reciprocal SE3 quick check with SO3
+        # disturbance (SlamSystem.cpp:1283-1310)
+        disturb = np.array([math.cos(0.025), math.sin(0.025), 0, 0])
+        close: List = []
+        for fid, cand in candidates.items():
+            if fid == new_kf.id or not cand.pose.is_in_graph:
+                continue
+            if fid == parent_kf.id:
+                continue
+            if cand.idx_in_keyframes < kcfg.initialization_phase_count:
+                continue
+            # note the order: project to SE3 *then* invert, like the
+            # reference's se3FromSim3(x.inverse()).inverse() (matters when
+            # scale != 1 since se3FromSim3 drops it)
+            c2f_init = nps.se3_inverse(
+                nps.se3_from_sim3(nps.sim3_inverse(init_map[fid])))
+            c2f_init = np.concatenate(
+                [nps.quat_mul(c2f_init[0:4], disturb), c2f_init[4:7]])
+            r1 = self.quick_tracker.track(cand.tracking_ref, new_kf.pyr,
+                                          c2f_init)
+            if not bool(r1.tracking_good):
+                continue
+            f2c_init = nps.se3_inverse(nps.se3_from_sim3(init_map[fid]))
+            f2c_init = np.concatenate(
+                [nps.quat_mul(disturb, f2c_init[0:4]), f2c_init[4:7]])
+            r2 = self.quick_tracker.track(new_kf.tracking_ref,
+                                          cand.pyr, f2c_init)
+            if not bool(r2.tracking_good):
+                continue
+            rot = nps.quat_mul(np.asarray(r2.ref_to_frame, np.float64)[0:4],
+                               np.asarray(r1.ref_to_frame, np.float64)[0:4])
+            if float(np.linalg.norm(nps.so3_log(rot))) >= kcfg.close_consistency_th:
+                continue
+            close.append(cand)
+
+        # -------- far candidates (SlamSystem.cpp:1314-1337)
+        far: List = []
+        for fid, cand in candidates.items():
+            if fid == new_kf.id or not cand.pose.is_in_graph:
+                continue
+            if fid == parent_kf.id:
+                continue
+            if cand.idx_in_keyframes < kcfg.initialization_phase_count:
+                continue
+            if distances.get(fid, 1 << 30) < kcfg.far_graph_dist_min:
+                continue
+            far.append(cand)
+
+        # -------- drop previously-failed inits (SlamSystem.cpp:1345-1402)
+        def failed_before(cand, th, check_pose):
+            fails = new_kf.tracking_failed.get(cand.id)
+            if not fails:
+                return False
+            f2c = nps.sim3_inverse(init_map[cand.id]) if check_pose else None
+            for old in fails:
+                if check_pose:
+                    if nps.sim3_log_norm(nps.sim3_mul(f2c, old)) < th:
+                        return True
+                else:
+                    if nps.sim3_log_norm(old) < th:
+                        return True
+            return False
+
+        close = [c for c in close if not failed_before(c, 0.1, True)]
+        far = [c for c in far if not failed_before(c, 0.2, False)]
+
+        # -------- caps (SlamSystem.cpp:1414-1450)
+        while len(close) > kcfg.max_loop_closure_candidates:
+            worst, worst_n = None, -1
+            for f in close:
+                n = sum(1 for other in close
+                        if other.id in self.neighbors.get(f.id, ()))
+                if n > worst_n:
+                    worst, worst_n = f, n
+            close.remove(worst)
+        max_far = max((kcfg.max_loop_closure_candidates + 1) // 2, 5)
+        while len(far) > max_far:
+            far.pop(self._rng.randrange(len(far)))
+
+        # -------- full Sim3 constraint tests
+        constraints: List[Constraint] = []
+        strict = kcfg.loop_closure_strictness
+        for cand in close:
+            e1, e2 = self.test_constraint(new_kf, cand, init_map[cand.id],
+                                          strict)
+            if e1 is not None:
+                constraints.extend([e1, e2])
+                far = [f for f in far if f.id != cand.id]
+        for cand in far:
+            e1, e2 = self.test_constraint(new_kf, cand,
+                                          nps.sim3_identity(), strict)
+            if e1 is not None:
+                constraints.extend([e1, e2])
+
+        # -------- forced parent edge (SlamSystem.cpp:1520-1566)
+        if force_parent and parent_kf is not None:
+            init = nps.sim3_mul(nps.sim3_inverse(new_c2w),
+                                parent_kf.pose.cam_to_world())
+            e1, e2 = self.test_constraint(new_kf, parent_kf, init, 100.0)
+            if e1 is not None:
+                constraints.extend([e1, e2])
+            else:
+                # hard-coded-information odometry fallback
+                downweight = 5.0
+                kernel_delta = (5.0 * math.sqrt(6000.0 * strict) / downweight)
+                info = _ODOMETRY_INFORMATION * (1e9 / downweight ** 2)
+                s2f = nps.sim3_mul(nps.sim3_inverse(new_c2w),
+                                   parent_kf.pose.cam_to_world())
+                constraints.append(Constraint(
+                    new_kf, parent_kf, s2f, info, kernel_delta,
+                    mean_residual=10, mean_residual_d=10,
+                    mean_residual_p=10, usage=0))
+
+        self.add_keyframe(new_kf)
+        for c in constraints:
+            self.insert_constraint(c)
+        return len(constraints)
+
+    # ------------------------------------------------------------ optimize
+
+    def _push_poses_to_graph(self):
+        for kf in self.system.keyframes:
+            vid = self.kf_to_vertex.get(kf.id)
+            if vid is not None and not kf.pose.is_optimized:
+                self.pose_graph.set_vertex(vid, kf.pose.cam_to_world())
+
+    def _pull_poses_from_graph(self) -> float:
+        max_change = 0.0
+        for kf in self.system.keyframes:
+            vid = self.kf_to_vertex.get(kf.id)
+            if vid is None or self.pose_graph.fixed[vid]:
+                continue
+            new_pose = self.pose_graph.poses[vid]
+            old = kf.pose.cam_to_world()
+            change = nps.sim3_log_norm(
+                nps.sim3_mul(nps.sim3_inverse(old), new_pose))
+            max_change = max(max_change, float(change))
+            kf.pose.set_graph_opt_result(new_pose)
+        return max_change
+
+    def optimize_slices(self) -> bool:
+        """5-iteration slices until converged (SlamSystem.cpp:371-377)."""
+        cfg = self.system.cfg.system
+        if self.pose_graph.n_edges == 0:
+            return False
+        self._push_poses_to_graph()
+        changed = False
+        for _ in range(20):
+            self.pose_graph.optimize(cfg.pgo_iterations_per_slice)
+            change = self._pull_poses_from_graph()
+            changed = changed or change > 1e-12
+            if change < cfg.pgo_min_change:
+                break
+            # continue optimizing from the updated vertex estimates
+        return changed
+
+    def optimize_final(self):
+        if self.pose_graph.n_edges == 0:
+            return
+        self._push_poses_to_graph()
+        self.pose_graph.optimize(self.system.cfg.system.pgo_final_iterations)
+        self._pull_poses_from_graph()
+
+    # ------------------------------------------------------------ reloc
+
+    def relocalize(self, pyr):
+        """Batched permaRef relocalization: try all keyframes at once
+        (replaces the 6-thread race, Relocalizer.cpp:117-243)."""
+        kfs = self.system.keyframes
+        if not kfs:
+            return None
+        kcfg = self.system.cfg.keyframe
+        l = self.quick_tracker.level
+        refs = (
+            jnp.stack([kf.tracking_ref.images[l] for kf in kfs]),
+            jnp.stack([kf.tracking_ref.idepth[l] for kf in kfs]),
+            jnp.stack([kf.tracking_ref.ivar[l] for kf in kfs]),
+            jnp.stack([kf.tracking_ref.valid[l] for kf in kfs]),
+        )
+        inits = np.tile(nps.se3_identity(), (len(kfs), 1)).astype(np.float32)
+        res = self.quick_tracker.track_batch(refs, pyr, inits)
+        good = np.asarray(res.tracking_good)
+        usage = np.asarray(res.point_usage)
+        gc = np.asarray(res.good_count, np.float32)
+        bc = np.asarray(res.bad_count, np.float32)
+        score = usage * gc / np.maximum(gc + bc, 1.0)
+        score = np.where(good, score, -1.0)
+        best = int(np.argmax(score))
+        if score[best] > kcfg.relocalization_th:
+            return kfs[best], np.asarray(res.ref_to_frame, np.float64)[best]
+        return None
+
+
+# hard-coded odometry-edge information matrix (SlamSystem.cpp:1546-1553)
+_ODOMETRY_INFORMATION = np.array([
+    [0.8098, -0.1507, -0.0557, 0.1211, 0.7657, 0.0120, 0],
+    [-0.1507, 2.1724, -0.1103, -1.9279, -0.1182, 0.1943, 0],
+    [-0.0557, -0.1103, 0.2643, -0.0021, -0.0657, -0.0028, 0.0304],
+    [0.1211, -1.9279, -0.0021, 2.3110, 0.1039, -0.0934, 0.0005],
+    [0.7657, -0.1182, -0.0657, 0.1039, 1.0545, 0.0743, -0.0028],
+    [0.0120, 0.1943, -0.0028, -0.0934, 0.0743, 0.4511, 0],
+    [0, 0, 0.0304, 0.0005, -0.0028, 0, 0.0228],
+])

@@ -1,0 +1,186 @@
+"""Sim(3) pose-graph optimizer — the g2o replacement.
+
+Replaces g2o's BlockSolver_7_3 + CSparse + Levenberg pipeline
+(KeyFrameGraph.cpp:65-80, 324-336) and the custom Sim3 vertex/edge types
+(g2oTypeSim3Sophus.h):
+
+  * vertex update:   X <- exp(delta) * X          (oplusImpl, :45-52)
+  * edge error:      r = log(X_from^-1 * X_to * meas^-1)   (:69-77)
+  * analytic Jacobians: J_to = Adj(X_from^-1), J_from = -J_to  (:79-85)
+  * Huber robust kernel on chi2 with per-edge delta (SlamSystem.cpp:1211-1215)
+
+TPU-native design: edges live in flat arrays; the Gauss-Newton normal
+equations assemble on device as batched 7x7 block outer products scattered
+into a dense (7N, 7N) system (one XLA program — MXU does the block
+products); the tiny solve runs in f64 on the host for conditioning. For
+multi-chip scale the edge set shards across devices and H,g are psum-reduced
+(see lsd_slam_tpu.parallel.distributed_pgo).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lsd_slam_tpu import lie
+from lsd_slam_tpu.lie import np_sim3 as nps
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+@functools.partial(jax.jit, static_argnames=("n_vertices",))
+def _assemble(poses, efrom, eto, meas_inv, info, huber_delta, n_vertices):
+    """Build GN normal equations H (7N,7N), g (7N), and per-edge chi2."""
+    xf = poses[efrom]          # (E, 8)
+    xt = poses[eto]
+    xf_inv = lie.sim3_inverse(xf)
+    err_g = lie.sim3_mul(lie.sim3_mul(xf_inv, xt), meas_inv)
+    r = lie.sim3_log(err_g)    # (E, 7)
+
+    chi2 = jnp.einsum("ei,eij,ej->e", r, info, r, precision=_HI)
+    # Huber weight: 1 if chi2 <= delta^2 else delta / sqrt(chi2)
+    w = jnp.where(chi2 <= huber_delta * huber_delta, 1.0,
+                  huber_delta / jnp.sqrt(jnp.maximum(chi2, 1e-12)))
+
+    A = lie.sim3_adjoint(xf_inv)              # J_to; J_from = -A
+    WI = info * w[:, None, None]
+    AtW = jnp.einsum("eji,ejk->eik", A, WI, precision=_HI)   # A^T W
+    AtWA = jnp.einsum("eij,ejk->eik", AtW, A, precision=_HI)
+    AtWr = jnp.einsum("eij,ej->ei", AtW, r, precision=_HI)
+
+    H = jnp.zeros((n_vertices, n_vertices, 7, 7), jnp.float32)
+    g = jnp.zeros((n_vertices, 7), jnp.float32)
+    H = H.at[efrom, efrom].add(AtWA)
+    H = H.at[eto, eto].add(AtWA)
+    H = H.at[efrom, eto].add(-AtWA)
+    H = H.at[eto, efrom].add(-AtWA)
+    # g = sum J^T W r ; J_from = -A  =>  g[from] -= A^T W r ; g[to] += A^T W r
+    g = g.at[efrom].add(-AtWr)
+    g = g.at[eto].add(AtWr)
+
+    Hd = H.transpose(0, 2, 1, 3).reshape(n_vertices * 7, n_vertices * 7)
+    return Hd, g.reshape(-1), chi2
+
+
+@jax.jit
+def _apply_update(poses, delta):
+    return lie.sim3_mul(lie.sim3_exp(delta), poses)
+
+
+class PoseGraph:
+    """Host-facing graph container with device optimization."""
+
+    def __init__(self):
+        self.poses: List[np.ndarray] = []       # camToWorld Sim3 (8,) f64
+        self.fixed: List[bool] = []
+        self.e_from: List[int] = []
+        self.e_to: List[int] = []
+        self.e_meas_inv: List[np.ndarray] = []  # inverse measurement (8,)
+        self.e_info: List[np.ndarray] = []      # (7,7)
+        self.e_delta: List[float] = []
+
+    # ------------------------------------------------------------ build
+
+    def add_vertex(self, cam_to_world, fixed: bool = False) -> int:
+        self.poses.append(np.asarray(cam_to_world, np.float64))
+        self.fixed.append(bool(fixed))
+        return len(self.poses) - 1
+
+    def set_vertex(self, idx: int, cam_to_world):
+        self.poses[idx] = np.asarray(cam_to_world, np.float64)
+
+    def add_edge(self, first: int, second: int, second_to_first,
+                 information, huber_delta: float):
+        """Edge semantics match EdgeSim3: from=first, to=second,
+        measurement=secondToFirst (KeyFrameGraph.cpp:258-270)."""
+        self.e_from.append(first)
+        self.e_to.append(second)
+        self.e_meas_inv.append(
+            nps.sim3_inverse(np.asarray(second_to_first, np.float64)))
+        self.e_info.append(np.asarray(information, np.float64))
+        self.e_delta.append(float(huber_delta))
+
+    @property
+    def n_vertices(self) -> int:
+        return len(self.poses)
+
+    @property
+    def n_edges(self) -> int:
+        return len(self.e_from)
+
+    # ------------------------------------------------------------ optimize
+
+    def optimize(self, num_iterations: int) -> float:
+        """Gauss-Newton with diagonal damping; returns the max vertex-pose
+        change |log| like optimizationIteration (SlamSystem.cpp:1612-1651).
+        """
+        n = self.n_vertices
+        if n < 2 or self.n_edges == 0:
+            return 0.0
+
+        poses = np.stack(self.poses).astype(np.float32)
+        efrom = jnp.asarray(np.asarray(self.e_from, np.int32))
+        eto = jnp.asarray(np.asarray(self.e_to, np.int32))
+        meas_inv = jnp.asarray(np.stack(self.e_meas_inv), jnp.float32)
+        info = jnp.asarray(np.stack(self.e_info), jnp.float32)
+        deltas = jnp.asarray(np.asarray(self.e_delta, np.float32))
+        fixed = np.asarray(self.fixed)
+
+        poses_j = jnp.asarray(poses)
+        max_change = 0.0
+        lam = 1e-6
+        last_chi2 = None
+        for _ in range(num_iterations):
+            Hd, g, chi2 = _assemble(poses_j, efrom, eto, meas_inv, info,
+                                    deltas, n)
+            H = np.asarray(Hd, np.float64)
+            gv = np.asarray(g, np.float64)
+            total_chi2 = float(np.asarray(jnp.sum(chi2)))
+
+            # fix vertices: zero their rows/cols, identity diagonal
+            for i in np.where(fixed)[0]:
+                s = slice(7 * i, 7 * i + 7)
+                H[s, :] = 0.0
+                H[:, s] = 0.0
+                H[s, s] = np.eye(7)
+                gv[s] = 0.0
+
+            # LM-style diagonal damping for safety on weak connectivity
+            H[np.diag_indices_from(H)] += lam * (np.abs(np.diag(H)) + 1.0)
+            try:
+                delta = np.linalg.solve(H, -gv)
+            except np.linalg.LinAlgError:
+                lam *= 10
+                continue
+
+            dmax = float(np.abs(delta).max())
+            if not np.isfinite(dmax) or dmax > 10.0:
+                lam *= 10
+                continue
+            poses_j = _apply_update(
+                poses_j, jnp.asarray(delta.reshape(n, 7), jnp.float32))
+            max_change = max(max_change, dmax)
+
+            if last_chi2 is not None and total_chi2 > last_chi2 * 1.5:
+                lam *= 10
+            else:
+                lam = max(lam * 0.3, 1e-8)
+            last_chi2 = total_chi2
+            if dmax < 1e-9:
+                break
+
+        new_poses = np.asarray(poses_j, np.float64)
+        # renormalize quaternions in f64
+        new_poses[:, 0:4] /= np.linalg.norm(new_poses[:, 0:4], axis=1,
+                                            keepdims=True)
+        changes = np.zeros(n)
+        for i in range(n):
+            if not fixed[i]:
+                d = nps.sim3_mul(nps.sim3_inverse(self.poses[i]), new_poses[i])
+                changes[i] = nps.sim3_log_norm(d)
+                self.poses[i] = new_poses[i]
+        return float(changes.max()) if n else 0.0

@@ -1,0 +1,374 @@
+"""SlamSystem: the engine orchestrator.
+
+Equivalent of SlamSystem (src/SlamSystem.{h,cpp}) re-designed for a
+deterministic sequential pipeline (the reference's hz=0 semantics,
+SlamSystem.cpp:1030-1039) with optional async mapping later: per frame,
+tracking runs as one compiled device program; the mapping iteration
+(observe / keyframe switch) runs immediately after (== blockUntilMapped).
+
+Keyframe lifecycle, selection score, tracking-loss detection and the
+mapping state machine follow SlamSystem.cpp:739-1040 (see per-method
+citations). Sim(3) constraint search + pose-graph optimization hook in via
+`lsd_slam_tpu.mapping` when `enable_slam` (SLAM mode).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from lsd_slam_tpu import lie
+from lsd_slam_tpu.lie import np_sim3 as nps
+from lsd_slam_tpu.camera import Camera
+from lsd_slam_tpu.config import LSDConfig
+from lsd_slam_tpu.frames import build_frame
+from lsd_slam_tpu.depth import DepthMap
+from lsd_slam_tpu.tracking import SE3Tracker
+from lsd_slam_tpu.system.poses import PoseNode, PoseRegistry
+from lsd_slam_tpu.system.keyframe import Keyframe
+
+
+class TrackedFrame:
+    """Lightweight record of a tracked (non-key)frame."""
+
+    __slots__ = ("id", "timestamp", "pose", "pyr", "good_mask",
+                 "initial_tracked_residual", "point_usage", "parent_kf_id")
+
+    def __init__(self, fid, timestamp, pose, pyr, good_mask,
+                 initial_tracked_residual, point_usage, parent_kf_id):
+        self.id = fid
+        self.timestamp = timestamp
+        self.pose = pose
+        self.pyr = pyr
+        self.good_mask = good_mask
+        self.initial_tracked_residual = initial_tracked_residual
+        self.point_usage = point_usage
+        self.parent_kf_id = parent_kf_id
+
+
+class SlamSystem:
+    def __init__(self, cam: Camera, cfg: LSDConfig = LSDConfig(),
+                 enable_slam: bool = True, seed: int = 0):
+        if cam.width != cfg.width or cam.height != cfg.height:
+            cfg = cfg.replace(width=cam.width, height=cam.height)
+        self.cam = cam
+        self.cfg = cfg
+        self.enable_slam = enable_slam
+        self.seed = seed
+
+        self.tracker = SE3Tracker(cam, cfg.tracker,
+                                  sigma2=cfg.mapping.camera_pixel_noise2,
+                                  use_affine=cfg.tracker.use_affine_lighting)
+        self.map = DepthMap(cam, cfg)
+
+        self.registry = PoseRegistry()
+        self.keyframes: List[Keyframe] = []   # == keyframesAll
+        self.id_to_keyframe = {}
+        self.all_frame_poses: List[PoseNode] = []
+        self.trajectory: List[tuple] = []     # (timestamp, frame_id, c2w sim3)
+
+        self.current_keyframe: Optional[Keyframe] = None
+        self.latest_tracked: Optional[TrackedFrame] = None
+        self.create_new_keyframe = False
+        self.tracking_is_good = True
+        self.manual_tracking_loss = False
+        self.last_tracking_closeness_score = 0.0
+
+        # tracking diagnostics (SlamSystem.h:115-118)
+        self.tracking_last_residual = 0.0
+        self.tracking_last_usage = 0.0
+
+        # SLAM back-end (created lazily to keep VO mode light); filled in by
+        # lsd_slam_tpu.mapping integration
+        self.constraint_search = None
+        self.pose_graph = None
+        if enable_slam:
+            from lsd_slam_tpu.mapping import MappingBackend
+            self.backend = MappingBackend(self)
+        else:
+            self.backend = None
+
+        self._mask_shift = cfg.tracker.min_level
+
+    # ------------------------------------------------------------- helpers
+
+    def _upsample_mask(self, mask) -> np.ndarray:
+        """Tracker good-mask lives at min_level; mapping reads it full-res
+        via (x >> lvl) indexing (DepthMap.cpp:322-329)."""
+        m = np.asarray(mask)
+        f = 1 << self._mask_shift
+        return np.repeat(np.repeat(m, f, axis=0), f, axis=1)
+
+    def _new_pose_node(self, frame_id: int) -> PoseNode:
+        node = PoseNode(frame_id, self.registry)
+        self.all_frame_poses.append(node)
+        return node
+
+    def _log_pose(self, ts, fid, node: PoseNode):
+        self.trajectory.append((ts, fid, node.cam_to_world().copy()))
+
+    # ------------------------------------------------------------- init
+
+    def random_init(self, image, frame_id: int = 0, timestamp: float = 0.0):
+        """== SlamSystem::randomInit (SlamSystem.cpp:857-888)."""
+        pyr = build_frame(jnp.asarray(image, jnp.float32),
+                          self.cfg.system.pyramid_levels,
+                          self.cfg.mapping.min_use_grad)
+        node = self._new_pose_node(frame_id)
+        kf = Keyframe(frame_id, timestamp, pyr, node)
+        self.map.initialize_randomly(pyr.max_grad[0], seed=self.seed)
+        self._export_depth_to(kf)
+        self._install_keyframe(kf)
+        self._log_pose(timestamp, frame_id, node)
+        self.tracking_is_good = True
+
+    def gt_depth_init(self, image, depth, frame_id: int = 0,
+                      timestamp: float = 0.0):
+        """== SlamSystem::gtDepthInit: seed from ground-truth depth."""
+        pyr = build_frame(jnp.asarray(image, jnp.float32),
+                          self.cfg.system.pyramid_levels,
+                          self.cfg.mapping.min_use_grad)
+        node = self._new_pose_node(frame_id)
+        kf = Keyframe(frame_id, timestamp, pyr, node)
+        d = np.asarray(depth, np.float32)
+        gt_idepth = np.where(d > 0, 1.0 / np.maximum(d, 1e-6), 0.0)
+        self.map.initialize_from_gt(jnp.asarray(gt_idepth), pyr.max_grad[0])
+        self._export_depth_to(kf)
+        self._install_keyframe(kf)
+        self._log_pose(timestamp, frame_id, node)
+        self.tracking_is_good = True
+
+    def _install_keyframe(self, kf: Keyframe):
+        self.current_keyframe = kf
+        self.id_to_keyframe[kf.id] = kf
+
+    def _export_depth_to(self, kf: Keyframe):
+        idepth0, ivar0, mean_id, num = self.map.export_depth()
+        kf.set_depth(idepth0, ivar0, mean_id, num,
+                     self.cfg.system.pyramid_levels)
+
+    # ------------------------------------------------------------- tracking
+
+    def track_frame(self, image, frame_id: int, timestamp: float = 0.0):
+        """Track one frame; in sequential mode also runs the mapping
+        iteration (== trackFrame + blockUntilMapped,
+        SlamSystem.cpp:890-1040)."""
+        pyr = build_frame(jnp.asarray(image, jnp.float32),
+                          self.cfg.system.pyramid_levels,
+                          self.cfg.mapping.min_use_grad)
+
+        if not self.tracking_is_good:
+            self._attempt_relocalization(pyr, frame_id, timestamp)
+            return None
+
+        kf = self.current_keyframe
+        my_create_flag = self.create_new_keyframe
+
+        # initial estimate: KF^-1 * lastFrame (SlamSystem.cpp:922-925)
+        last_node = self.all_frame_poses[-1]
+        init_f2r = nps.se3_from_sim3(
+            nps.sim3_mul(nps.sim3_inverse(kf.pose.cam_to_world()),
+                         last_node.cam_to_world()))
+
+        res = self.tracker.track(kf.tracking_ref, pyr,
+                                 jnp.asarray(init_f2r, jnp.float32))
+
+        diverged = bool(res.diverged)
+        tracking_good = bool(res.tracking_good)
+        self.tracking_last_residual = float(res.last_residual)
+        self.tracking_last_usage = float(res.point_usage)
+
+        lost = (self.manual_tracking_loss or diverged
+                or (len(self.keyframes)
+                    > self.cfg.keyframe.initialization_phase_count
+                    and not tracking_good))
+        if lost:
+            self.tracking_is_good = False
+            self.create_new_keyframe = False
+            self.manual_tracking_loss = False
+            return None
+
+        # pose bookkeeping
+        frame_to_ref = np.asarray(res.frame_to_ref, np.float64)
+        node = self._new_pose_node(frame_id)
+        node.this_to_parent = nps.sim3_from_se3(frame_to_ref, 1.0)
+        node.parent = kf.pose
+        self.registry.invalidate_all()
+        self._log_pose(timestamp, frame_id, node)
+
+        kf.num_frames_tracked_on_this += 1
+        self.map.num_frames_tracked_on_this = kf.num_frames_tracked_on_this
+
+        tracked = TrackedFrame(
+            frame_id, timestamp, node, pyr,
+            self._upsample_mask(res.good_mask),
+            float(res.last_residual) / max(float(res.point_usage), 1e-6),
+            float(res.point_usage), kf.id)
+        self.latest_tracked = tracked
+
+        # keyframe selection (SlamSystem.cpp:997-1020)
+        if (not my_create_flag
+                and kf.num_mapped_on_this_total
+                > self.cfg.keyframe.min_num_mapped):
+            ref_to_frame = np.asarray(res.ref_to_frame, np.float64)
+            dist = ref_to_frame[4:7] * kf.mean_idepth
+            n_kf = len(self.keyframes)
+            min_val = min(0.2 + n_kf * 0.8
+                          / self.cfg.keyframe.initialization_phase_count, 1.0)
+            if n_kf < self.cfg.keyframe.initialization_phase_count:
+                min_val *= 0.7
+            score = self._ref_frame_score(float(dist @ dist),
+                                          float(res.point_usage))
+            self.last_tracking_closeness_score = score
+            if score > min_val:
+                self.create_new_keyframe = True
+
+        if self.cfg.system.sequential:
+            self.do_mapping_iteration()
+
+        return node.cam_to_world()
+
+    def _ref_frame_score(self, dist_sq: float, usage: float) -> float:
+        kcfg = self.cfg.keyframe
+        return (dist_sq * kcfg.kf_dist_weight ** 2
+                + (1 - usage) ** 2 * kcfg.kf_usage_weight ** 2)
+
+    # ------------------------------------------------------------- mapping
+
+    def do_mapping_iteration(self):
+        """== doMappingIteration (SlamSystem.cpp:739-830), sequential."""
+        if self.current_keyframe is None:
+            return False
+        if self.backend is not None:
+            self.backend.merge_optimization_offset()
+        if not self.tracking_is_good:
+            return False
+
+        if self.create_new_keyframe:
+            self.finish_current_keyframe()
+            self.change_keyframe(no_create=False, force=True, max_score=1.0)
+        else:
+            self.update_keyframe()
+        return True
+
+    def update_keyframe(self):
+        """Map the latest tracked frame into the current KF
+        (== SlamSystem::updateKeyframe, SlamSystem.cpp:542-615)."""
+        tracked = self.latest_tracked
+        kf = self.current_keyframe
+        if tracked is None or tracked.parent_kf_id != kf.id:
+            return False
+        ref_to_kf = nps.se3_from_sim3(tracked.pose.this_to_parent)
+        self.map.update_keyframe(
+            kf.pyr, tracked.pyr.images[0],
+            jnp.asarray(ref_to_kf, jnp.float32), float(tracked.id),
+            jnp.asarray(tracked.good_mask),
+            tracked.initial_tracked_residual)
+        kf.num_mapped_on_this += 1
+        kf.num_mapped_on_this_total += 1
+        self._export_depth_to(kf)
+        return True
+
+    def finish_current_keyframe(self):
+        """== finishCurrentKeyframe (SlamSystem.cpp:395-427)."""
+        kf = self.current_keyframe
+        self.map.finalize_keyframe(kf.pyr.max_grad[0])
+        self._export_depth_to(kf)
+        kf.reactivation = self.map.reactivation_snapshot()
+        if self.enable_slam:
+            if kf.idx_in_keyframes < 0:
+                kf.idx_in_keyframes = len(self.keyframes)
+                self.keyframes.append(kf)
+                if self.backend is not None:
+                    self.backend.on_new_keyframe(kf)
+        else:
+            if kf.idx_in_keyframes < 0:
+                kf.idx_in_keyframes = len(self.keyframes)
+                self.keyframes.append(kf)
+
+    def change_keyframe(self, no_create: bool, force: bool, max_score: float):
+        """== changeKeyframe (SlamSystem.cpp:507-540): re-activate a close
+        existing KF if possible, else promote the latest tracked frame."""
+        candidate = None
+        if (self.cfg.keyframe.do_kf_reactivation and self.enable_slam
+                and self.backend is not None):
+            candidate = self.backend.find_reposition_candidate(
+                self.latest_tracked, max_score)
+        if candidate is not None:
+            self.load_existing_keyframe(candidate)
+        elif force:
+            if no_create:
+                self.tracking_is_good = False
+            else:
+                self.create_new_current_keyframe(self.latest_tracked)
+        self.create_new_keyframe = False
+
+    def create_new_current_keyframe(self, tracked: TrackedFrame):
+        """== createNewCurrentKeyframe (SlamSystem.cpp:458-490)."""
+        old_kf = self.current_keyframe
+        # oldToNew = inverse of (new frame -> old KF)
+        frame_to_kf = nps.se3_from_sim3(tracked.pose.this_to_parent)
+        old_to_new = nps.se3_inverse(frame_to_kf)
+        have_mask = tracked.parent_kf_id == old_kf.id
+        rescale = self.map.create_keyframe(
+            jnp.asarray(old_to_new, jnp.float32), old_kf.pyr.images[0],
+            tracked.pyr, jnp.asarray(tracked.good_mask), have_mask)
+
+        new_kf = Keyframe(tracked.id, tracked.timestamp, tracked.pyr,
+                          tracked.pose)
+        new_kf.initial_tracked_residual = tracked.initial_tracked_residual
+        # absorb the idepth renormalization into thisToParent
+        # (DepthMap.cpp:1285-1306)
+        new_kf.pose.this_to_parent = nps.sim3_from_se3(
+            nps.se3_inverse(old_to_new), rescale)
+        new_kf.pose.invalidate_cache()
+        self.registry.invalidate_all()
+
+        self._export_depth_to(new_kf)
+        self._install_keyframe(new_kf)
+
+    def load_existing_keyframe(self, kf: Keyframe):
+        """== loadNewCurrentKeyframe (SlamSystem.cpp:492-506)."""
+        re_id, re_var, re_validity = kf.reactivation
+        self.map.set_from_existing_kf(re_id, re_var, re_validity)
+        self._export_depth_to(kf)
+        kf.num_mapped_on_this = 0
+        kf.num_frames_tracked_on_this = 0
+        self.current_keyframe = kf
+
+    # ------------------------------------------------------------- reloc
+
+    def _attempt_relocalization(self, pyr, frame_id, timestamp):
+        if self.backend is None:
+            return
+        hit = self.backend.relocalize(pyr, frame_id, timestamp)
+        if hit is not None:
+            kf, frame_to_ref = hit
+            self.load_existing_keyframe(kf)
+            node = self._new_pose_node(frame_id)
+            node.this_to_parent = nps.sim3_from_se3(frame_to_ref, 1.0)
+            node.parent = kf.pose
+            self.registry.invalidate_all()
+            self._log_pose(timestamp, frame_id, node)
+            self.tracking_is_good = True
+
+    # ------------------------------------------------------------- final
+
+    def finalize(self):
+        """== SlamSystem::finalize (SlamSystem.cpp:225-263)."""
+        if self.current_keyframe is not None and self.tracking_is_good:
+            if (self.current_keyframe.idx_in_keyframes < 0
+                    and self.current_keyframe.num_mapped_on_this_total
+                    >= self.cfg.keyframe.min_num_mapped):
+                self.finish_current_keyframe()
+        if self.backend is not None:
+            self.backend.finalize()
+
+    # ------------------------------------------------------------- export
+
+    def trajectory_array(self) -> np.ndarray:
+        """(N, 8) camToWorld Sim3 per tracked frame (for ATE evaluation)."""
+        return np.stack([p for _, _, p in self.trajectory])

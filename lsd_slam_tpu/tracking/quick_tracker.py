@@ -1,0 +1,165 @@
+"""Coarse-level "permaRef" quick tracking for KF-search and relocalization.
+
+Equivalent of SE3Tracker::trackFrameOnPermaref / checkPermaRefOverlap
+(SE3Tracker.cpp:121-272): a single-level (QUICK_KF_CHECK_LVL=4) LM track
+with the quick test-track schedule (maxItsTestTrack=5, eps 0.98,
+settings.h:379-382). The reference stores a dedicated always-resident
+level-4 point cloud per keyframe (Frame::setPermaRef); here the keyframe's
+TrackingRef already holds all levels, so "permaRef" is just level 4 of it.
+
+Also provides the batched variant: one frame against N keyframes at once
+(vmapped), replacing the reference's 6-thread relocalizer race
+(Relocalizer.cpp:117-121) and the serial candidate loop
+(SlamSystem.cpp:1283-1310) with data-parallel device execution.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from lsd_slam_tpu import lie
+from lsd_slam_tpu.camera import Camera
+from lsd_slam_tpu.config import TrackerConfig
+from lsd_slam_tpu.tracking.se3_tracker import (
+    _residual_pass, _weights_pass, _normal_equations)
+
+
+@struct.dataclass
+class QuickTrackResult:
+    ref_to_frame: jnp.ndarray
+    tracking_good: jnp.ndarray
+    diverged: jnp.ndarray
+    point_usage: jnp.ndarray
+    good_count: jnp.ndarray
+    bad_count: jnp.ndarray
+    residual: jnp.ndarray
+
+
+class QuickTracker:
+    def __init__(self, cam: Camera, cfg: TrackerConfig = TrackerConfig(),
+                 sigma2: float = 16.0):
+        self.cam = cam
+        self.cfg = cfg
+        self.sigma2 = float(sigma2)
+        self.level = cfg.quick_kf_check_level
+        self._track1 = jax.jit(self._impl)
+        # batched: level-l slices of (stacked) refs vs one frame
+        self._trackN = jax.jit(jax.vmap(self._impl,
+                                        in_axes=(0, None, 0)))
+
+    def _impl(self, ref_level, frame_level, init_ref_to_frame):
+        """ref_level / frame_level: tuples of level-l arrays (see track())."""
+        cfg = self.cfg
+        l = self.level
+        caml = self.cam.level(l)
+        ref_img, ref_idepth, ref_ivar, ref_valid = ref_level
+        img, gx, gy = frame_level
+        h, w = ref_img.shape
+        min_points = cfg.min_goodperall_pixel_absmin * h * w
+
+        def res(pose, a, b):
+            return _residual_pass(pose, a, b, ref_img, ref_idepth, ref_ivar,
+                                  ref_valid, img, gx, gy, caml, cfg)
+
+        pose = init_ref_to_frame
+        buffers, stats = res(pose, 1.0, 0.0)
+        diverged = stats["in_count"] < min_points
+        weight, last_err = _weights_pass(pose, buffers, cfg, self.sigma2)
+        A0, g0 = _normal_equations(buffers, weight)
+
+        state = dict(pose=pose, A=A0, g=g0, last_err=last_err,
+                     lam=jnp.float32(0.0), iter=jnp.int32(0),
+                     trials=jnp.int32(0), done=diverged, diverged=diverged)
+        max_its = cfg.max_its_test_track
+
+        def cond(s):
+            return (s["iter"] < max_its) & ~s["done"] & (s["trials"] < max_its * 3)
+
+        def body(s):
+            A = s["A"] + s["lam"] * jnp.diag(jnp.diag(s["A"]))
+            inc = jnp.linalg.solve(A + 1e-12 * jnp.eye(6), s["g"])
+            new_pose = lie.se3_mul(lie.se3_exp(inc), s["pose"])
+            buffers, stats = res(new_pose, 1.0, 0.0)
+            div = stats["in_count"] < min_points
+            weight, err = _weights_pass(new_pose, buffers, cfg, self.sigma2)
+            A_new, g_new = _normal_equations(buffers, weight)
+            accept = (err < s["last_err"]) & ~div
+            converged = (err / jnp.maximum(s["last_err"], 1e-12)
+                         > cfg.convergence_eps_test_track)
+            step_small = jnp.sum(inc * inc) < cfg.step_size_min_test_track
+            sel = lambda a, b: jnp.where(accept, a, b)
+            return dict(
+                pose=jnp.where(accept, new_pose, s["pose"]),
+                A=jnp.where(accept, A_new, s["A"]),
+                g=jnp.where(accept, g_new, s["g"]),
+                last_err=sel(err, s["last_err"]),
+                lam=sel(jnp.maximum(s["lam"] * 0.5, 0.0),
+                        jnp.where(s["lam"] == 0, 0.2, s["lam"] * 4.0)),
+                iter=s["iter"] + accept.astype(jnp.int32),
+                trials=s["trials"] + 1,
+                done=s["done"] | div | (accept & converged)
+                     | (~accept & step_small),
+                diverged=s["diverged"] | div,
+            )
+
+        out = jax.lax.while_loop(cond, body, state)
+        pose = out["pose"]
+
+        buffers, stats = res(pose, 1.0, 0.0)
+        _, final_err = _weights_pass(pose, buffers, cfg, self.sigma2)
+        good = stats["good_count"].astype(jnp.float32)
+        bad = stats["bad_count"].astype(jnp.float32)
+        n_pix = float(h * w)
+        ref_num = jnp.maximum(jnp.sum(ref_valid), 1).astype(jnp.float32)
+        tracking_good = (~out["diverged"]
+                         & (good / n_pix > cfg.min_goodperall_pixel)
+                         & (good / jnp.maximum(good + bad, 1.0)
+                            > cfg.min_goodpergoodbad_pixel))
+        return QuickTrackResult(
+            ref_to_frame=pose,
+            tracking_good=tracking_good,
+            diverged=out["diverged"],
+            point_usage=stats["usage"] / ref_num,
+            good_count=stats["good_count"],
+            bad_count=stats["bad_count"],
+            residual=final_err,
+        )
+
+    # ------------------------------------------------------------- api
+
+    def _ref_slice(self, ref):
+        l = self.level
+        return (ref.images[l], ref.idepth[l], ref.ivar[l], ref.valid[l])
+
+    def _frame_slice(self, pyr):
+        l = self.level
+        return (pyr.images[l], pyr.gx[l], pyr.gy[l])
+
+    def track(self, ref, frame_pyr, init_ref_to_frame) -> QuickTrackResult:
+        """== trackFrameOnPermaref; init/result are ref->frame SE3."""
+        return self._track1(self._ref_slice(ref), self._frame_slice(frame_pyr),
+                            jnp.asarray(init_ref_to_frame, jnp.float32))
+
+    def check_overlap(self, ref, frame_pyr, ref_to_frame):
+        """== checkPermaRefOverlap: pointUsage at a fixed pose
+        (SE3Tracker.cpp:121-158)."""
+        l = self.level
+        caml = self.cam.level(l)
+        buffers, stats = _residual_pass(
+            jnp.asarray(ref_to_frame, jnp.float32), 1.0, 0.0,
+            ref.images[l], ref.idepth[l], ref.ivar[l], ref.valid[l],
+            frame_pyr.images[l], frame_pyr.gx[l], frame_pyr.gy[l],
+            caml, self.cfg)
+        ref_num = jnp.maximum(jnp.sum(ref.valid[l]), 1).astype(jnp.float32)
+        return float(stats["usage"] / ref_num)
+
+    def track_batch(self, refs_stacked, frame_pyr, init_poses) -> QuickTrackResult:
+        """Batched quick track: one frame against N stacked keyframe refs.
+
+        refs_stacked: tuple of stacked level-4 arrays (N, h4, w4)."""
+        return self._trackN(refs_stacked, self._frame_slice(frame_pyr),
+                            jnp.asarray(init_poses, jnp.float32))

@@ -1,0 +1,142 @@
+"""Analytic synthetic scenes for tests and benchmarks.
+
+The reference is validated by running on the TUM LSD_room sequence
+(README.md:18-41); with no dataset available offline, this module provides
+the equivalent reproducible harness: a procedurally-textured multi-plane
+scene rendered along a known trajectory. Because texture is an analytic
+function of the world point (band-limited sum of sinusoids), images at any
+pose are exact — no resampling — and ground-truth depth/pose enables ATE
+and depth-error metrics without external data.
+
+Convention: poses are world->camera SE3 ("w2c"); depth is the camera-frame
+z coordinate; intensities are in [0, 255] like the reference's grayscale.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
+
+from lsd_slam_tpu import lie
+from lsd_slam_tpu.camera import Camera
+
+
+def default_camera(width: int = 640, height: int = 480) -> Camera:
+    # FOV-ish intrinsics similar to the reference's example calibs
+    return Camera(fx=0.7 * width, fy=0.7 * width, cx=(width - 1) / 2.0,
+                  cy=(height - 1) / 2.0, width=width, height=height)
+
+
+class PlaneScene:
+    """A handful of textured planes. Planes: n . p = d (world frame)."""
+
+    def __init__(self, seed: int = 0, n_waves: int = 64, max_freq: float = 40.0,
+                 contrast: float = 40.0):
+        rng = np.random.default_rng(seed)
+        # planes: back wall, floor, ceiling-ish slab, one slanted panel
+        normals = np.array(
+            [
+                [0.0, 0.0, -1.0],   # back wall at z=4 (faces camera at origin)
+                [0.0, -1.0, -0.15],  # floor-ish
+                [0.0, 1.0, -0.15],   # ceiling-ish
+                [-0.55, 0.1, -1.0],  # slanted panel
+            ]
+        )
+        normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+        offsets = np.array([-4.0, -1.6, -1.6, -2.6])
+        self.normals = jnp.asarray(normals, jnp.float32)
+        self.offsets = jnp.asarray(offsets, jnp.float32)
+        # band-limited 3D texture with a 1/f-ish spectrum: low frequencies
+        # give the coarse pyramid levels signal, high frequencies give the
+        # per-pixel gradients the semi-dense mapper needs (>= minUseGrad).
+        dirs = rng.normal(size=(n_waves, 3))
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        mags = np.exp(rng.uniform(np.log(0.8), np.log(max_freq), n_waves))
+        self.freqs = jnp.asarray(dirs * mags[:, None], jnp.float32)
+        self.phases = jnp.asarray(rng.uniform(0, 2 * np.pi, n_waves), jnp.float32)
+        amps = mags ** -0.3
+        # normalize so the image std is ~contrast (sum a_k^2 / 2 = contrast^2)
+        amps *= contrast / np.sqrt(np.sum(amps**2) / 2.0)
+        self.amps = jnp.asarray(amps, jnp.float32)
+        self.base = 120.0
+
+    def texture(self, p):
+        """Analytic intensity at world points p (..., 3)."""
+        phase = jnp.einsum('...i,wi->...w', p, self.freqs, precision=_HI) + self.phases  # (..., n_waves)
+        return self.base + jnp.sum(self.amps * jnp.sin(phase), axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("scene", "camera"))
+def render(scene: PlaneScene, camera: Camera, pose_w2c):
+    """Render image + depth at a world->camera pose (SE3 (7,)).
+
+    Returns (image (H,W) f32 in [0,255], depth (H,W) f32 camera-frame z).
+    """
+    h, w = camera.height, camera.width
+    c2w = lie.se3_inverse(pose_w2c)
+    center = c2w[4:7]  # camera center in world
+    rot = lie.quat_to_matrix(c2w[0:4])
+
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    dx = (xs - camera.cx) / camera.fx
+    dy = (ys - camera.cy) / camera.fy
+    dirs_cam = jnp.stack([dx, dy, jnp.ones_like(dx)], axis=-1)  # z=1
+    dirs_world = jnp.einsum('...i,ji->...j', dirs_cam, rot, precision=_HI)
+
+    # intersect all planes: t = (d - n.c) / (n.dir)
+    ndir = jnp.einsum('...i,pi->...p', dirs_world, scene.normals, precision=_HI)
+    t = (scene.offsets - jnp.einsum('i,pi->p', center, scene.normals, precision=_HI)) / jnp.where(
+        jnp.abs(ndir) < 1e-8, 1e-8, ndir)
+    t = jnp.where(t > 0.05, t, jnp.inf)
+    depth = jnp.min(t, axis=-1)
+    depth = jnp.where(jnp.isfinite(depth), depth, 0.0)
+
+    points = center + depth[..., None] * dirs_world
+    img = scene.texture(points)
+    img = jnp.where(depth > 0, img, 0.0)
+    return img.astype(jnp.float32), depth.astype(jnp.float32)
+
+
+def orbit_trajectory(n_frames: int, radius: float = 0.10,
+                     fwd: float = 0.012, yaw: float = 0.0015,
+                     seed: int = 1) -> np.ndarray:
+    """A smooth sideways-arc trajectory with small rotations (n, 7) w2c.
+
+    Motion magnitudes mimic a handheld 30fps camera: ~1cm/frame translation,
+    milliradian rotations — the regime the reference's tracker is tuned for.
+    """
+    poses = []
+    for i in range(n_frames):
+        a = i / max(n_frames - 1, 1)
+        # camera center moves along a lateral arc, slightly forward
+        cx = radius * np.sin(2 * np.pi * a * 0.75)
+        cy = 0.3 * radius * np.sin(2 * np.pi * a * 1.5)
+        cz = fwd * i
+        yaw_i = yaw * i * 15
+        pitch_i = 0.3 * yaw * i * 7
+        t_c2w = np.array([cx, cy, cz])
+        tangent = np.array([0, 0, 0, pitch_i, yaw_i, 0.0], dtype=np.float32)
+        q = np.asarray(lie.se3_exp(jnp.asarray(tangent)))[0:4]
+        c2w = np.concatenate([q, t_c2w]).astype(np.float32)
+        poses.append(np.asarray(lie.se3_inverse(jnp.asarray(c2w))))
+    return np.stack(poses)
+
+
+def make_sequence(n_frames: int = 30, width: int = 320, height: int = 240,
+                  seed: int = 0):
+    """Convenience: (camera, images[n,h,w], depths[n,h,w], poses_w2c[n,7])."""
+    cam = default_camera(width, height)
+    scene = PlaneScene(seed=seed)
+    poses = orbit_trajectory(n_frames)
+    imgs, deps = [], []
+    for i in range(n_frames):
+        img, dep = render(scene, cam, jnp.asarray(poses[i]))
+        imgs.append(np.asarray(img))
+        deps.append(np.asarray(dep))
+    return cam, np.stack(imgs), np.stack(deps), poses
