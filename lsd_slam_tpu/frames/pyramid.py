@@ -35,6 +35,11 @@ class FramePyramid:
     gx: Tuple[jnp.ndarray, ...]
     gy: Tuple[jnp.ndarray, ...]
     max_grad: Tuple[jnp.ndarray, ...]
+    # packed (H, W, 4) [image, gx, gy, 0] per level: the gather-friendly
+    # layout the trackers sample from (TPU gathers cost per row, so all
+    # channels ride one row — same idea as the reference's Vector4f
+    # gradient array, Frame.cpp:643-680)
+    packed: Tuple[jnp.ndarray, ...]
     num_mappable: jnp.ndarray  # scalar: level-0 pixels with max_grad >= thresh
 
 
@@ -78,7 +83,7 @@ def build_frame(image: jnp.ndarray, levels: int = 5,
                 min_abs_grad: float = 5.0) -> FramePyramid:
     """Build the full pyramid for one grayscale image (H, W) float32."""
     image = image.astype(jnp.float32)
-    images, gxs, gys, mgs = [], [], [], []
+    images, gxs, gys, mgs, packs = [], [], [], [], []
     img = image
     num_mappable = jnp.zeros((), jnp.float32)
     for l in range(levels):
@@ -97,9 +102,10 @@ def build_frame(image: jnp.ndarray, levels: int = 5,
         gxs.append(gx)
         gys.append(gy)
         mgs.append(mg)
+        packs.append(jnp.stack([img, gx, gy, jnp.zeros_like(img)], axis=-1))
     return FramePyramid(
         images=tuple(images), gx=tuple(gxs), gy=tuple(gys),
-        max_grad=tuple(mgs), num_mappable=num_mappable,
+        max_grad=tuple(mgs), packed=tuple(packs), num_mappable=num_mappable,
     )
 
 

@@ -137,15 +137,14 @@ def export_ply(path: str, keyframes, cam, scaled_var_th: float = 0.02,
         pts_all.append(pts_world)
         cols_all.append(color[ys, xs])
 
-    n = sum(len(p) for p in pts_all)
-    with open(path, "w") as f:
-        f.write("ply\nformat ascii 1.0\n")
-        f.write(f"element vertex {n}\n")
-        f.write("property float x\nproperty float y\nproperty float z\n")
-        f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
-        f.write("end_header\n")
-        for pts, cols in zip(pts_all, cols_all):
-            for (x, y, z), c in zip(pts, cols):
-                ci = int(np.clip(c, 0, 255))
-                f.write(f"{x:.4f} {y:.4f} {z:.4f} {ci} {ci} {ci}\n")
-    return n
+    from lsd_slam_tpu.utils.native import write_ply_binary
+
+    if pts_all:
+        xyz = np.concatenate(pts_all).astype(np.float32)
+        gray = np.clip(np.concatenate(cols_all), 0, 255).astype(np.uint8)
+        rgb = np.stack([gray, gray, gray], axis=-1)
+    else:
+        xyz = np.zeros((0, 3), np.float32)
+        rgb = np.zeros((0, 3), np.uint8)
+    write_ply_binary(path, xyz, rgb)
+    return len(xyz)

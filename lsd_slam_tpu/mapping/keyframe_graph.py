@@ -12,7 +12,6 @@ failed-constraint memory) stays host-side.
 
 from __future__ import annotations
 
-import heapq
 import math
 import random
 from typing import Dict, List, Optional, Set, Tuple
@@ -24,6 +23,7 @@ from lsd_slam_tpu.lie import np_sim3 as nps
 from lsd_slam_tpu.tracking.sim3_tracker import Sim3Tracker
 from lsd_slam_tpu.tracking.quick_tracker import QuickTracker
 from lsd_slam_tpu.mapping.pose_graph import PoseGraph
+from lsd_slam_tpu.mapping.appearance import AppearanceIndex
 
 
 class Constraint:
@@ -63,6 +63,9 @@ class KeyFrameGraph:
         self.edges: List[Constraint] = []
         self.last_constraint_tracked_c2w: Dict[int, np.ndarray] = {}
         self._rng = random.Random(0)
+        # optional appearance retrieval (== useFabMap, settings.cpp:92)
+        self.appearance = (AppearanceIndex()
+                           if cfg.system.use_fabmap else None)
         # field of view for the candidate angle check
         self.fow_x = 2.0 * math.atan(cam.width / (cam.fx * 2.0))
         self.fow_y = 2.0 * math.atan(cam.height / (cam.fy * 2.0))
@@ -78,6 +81,8 @@ class KeyFrameGraph:
         self.kf_to_vertex[kf.id] = vid
         self.neighbors.setdefault(kf.id, set())
         kf.pose.is_in_graph = True
+        if self.appearance is not None:
+            self.appearance.add(kf.id, kf.pyr)
 
     def insert_constraint(self, c: Constraint):
         """== insertConstraint (KeyFrameGraph.cpp:258-294)."""
@@ -97,20 +102,23 @@ class KeyFrameGraph:
     # ------------------------------------------------------------ dijkstra
 
     def graph_distances_from(self, start_kf) -> Dict[int, int]:
-        """Hop-count Dijkstra (calculateGraphDistancesToFrame,
-        KeyFrameGraph.cpp:340-374)."""
-        dist = {start_kf.id: 0}
-        pq = [(0, start_kf.id)]
-        while pq:
-            d, fid = heapq.heappop(pq)
-            if d > dist.get(fid, 1 << 30):
-                continue
-            for nid in self.neighbors.get(fid, ()):
-                nd = d + 1
-                if nd < dist.get(nid, 1 << 30):
-                    dist[nid] = nd
-                    heapq.heappush(pq, (nd, nid))
-        return dist
+        """Hop-count graph distances (calculateGraphDistancesToFrame,
+        KeyFrameGraph.cpp:340-374) via the native BFS."""
+        from lsd_slam_tpu.utils import native
+
+        ids = sorted(self.neighbors.keys())
+        idx = {fid: i for i, fid in enumerate(ids)}
+        if start_kf.id not in idx:
+            return {start_kf.id: 0}
+        efrom, eto = [], []
+        for fid, ns in self.neighbors.items():
+            for nid in ns:
+                if fid < nid:
+                    efrom.append(idx[fid])
+                    eto.append(idx[nid])
+        d = native.bfs_hops(len(ids), np.asarray(efrom, np.int32),
+                            np.asarray(eto, np.int32), idx[start_kf.id])
+        return {fid: int(d[i]) for fid, i in idx.items() if d[i] >= 0}
 
     # ------------------------------------------------------------ search
 
@@ -146,14 +154,26 @@ class KeyFrameGraph:
 
     def find_candidates(self, kf, closeness_th: float):
         """== findCandidates (TrackableKeyFrameSearch.cpp:174-203):
-        Euclidean union appearance-based (latter optional/off)."""
+        Euclidean overlap union appearance-based candidate + its
+        neighbors (the latter optional, == useFabMap)."""
         kcfg = self.system.cfg.keyframe
         c2w = kf.pose.cam_to_world()
         frames = self.find_euclidean_overlap_frames(
             c2w, kf.mean_idepth,
             closeness_th * 15.0 / (kcfg.kf_dist_weight ** 2),
             1.0 - 0.25 * closeness_th, check_both_scales=True)
-        return {f.id: f for f, _, _ in frames}
+        cands = {f.id: f for f, _, _ in frames}
+        fabmap_id = None
+        if self.appearance is not None:
+            fabmap_id = self.appearance.query(kf.pyr, kf.id)
+            if fabmap_id is not None and fabmap_id in self.system.id_to_keyframe:
+                cands[fabmap_id] = self.system.id_to_keyframe[fabmap_id]
+                for nid in self.neighbors.get(fabmap_id, ()):
+                    if nid in self.system.id_to_keyframe:
+                        cands[nid] = self.system.id_to_keyframe[nid]
+            else:
+                fabmap_id = None
+        return cands, fabmap_id
 
     def find_reposition_candidate(self, tracked, max_score: float):
         """== findRePositionCandidate (TrackableKeyFrameSearch.cpp:103-172)."""
@@ -204,7 +224,8 @@ class KeyFrameGraph:
         tracking + Mahalanobis consistency."""
         res_ba = self.sim3_tracker.track(
             kf_a.tracking_ref, kf_b.tracking_ref, b_to_a, lvl_start, lvl_end)
-        b_to_a_new = np.asarray(res_ba.ref_to_frame, np.float64)
+        # trackFrameSim3 returns frameToReference (here frame=B, ref=A)
+        b_to_a_new = np.asarray(res_ba.frame_to_ref, np.float64)
         info_ba = np.asarray(res_ba.hessian, np.float64)
         if (bool(res_ba.diverged) or b_to_a_new[7] > 1e10
                 or b_to_a_new[7] < 1e-10 or info_ba[0, 0] == 0
@@ -213,7 +234,7 @@ class KeyFrameGraph:
 
         res_ab = self.sim3_tracker.track(
             kf_b.tracking_ref, kf_a.tracking_ref, a_to_b, lvl_start, lvl_end)
-        a_to_b_new = np.asarray(res_ab.ref_to_frame, np.float64)
+        a_to_b_new = np.asarray(res_ab.frame_to_ref, np.float64)
         info_ab = np.asarray(res_ab.hessian, np.float64)
         if (bool(res_ab.diverged) or a_to_b_new[7] > 1e10
                 or a_to_b_new[7] < 1e-10 or info_ab[0, 0] == 0
@@ -309,7 +330,8 @@ class KeyFrameGraph:
         self.last_constraint_tracked_c2w[new_kf.id] = \
             new_kf.pose.cam_to_world().copy()
 
-        candidates = self.find_candidates(new_kf, close_candidates_th)
+        candidates, fabmap_id = self.find_candidates(new_kf,
+                                                     close_candidates_th)
         my_neighbors = self.neighbors.get(new_kf.id, set())
         candidates = {fid: f for fid, f in candidates.items()
                       if fid not in my_neighbors}
@@ -365,7 +387,9 @@ class KeyFrameGraph:
                 continue
             if cand.idx_in_keyframes < kcfg.initialization_phase_count:
                 continue
-            if distances.get(fid, 1 << 30) < kcfg.far_graph_dist_min:
+            # the appearance hit always qualifies as far (SlamSystem.cpp:1328)
+            if fid != fabmap_id and \
+                    distances.get(fid, 1 << 30) < kcfg.far_graph_dist_min:
                 continue
             far.append(cand)
 

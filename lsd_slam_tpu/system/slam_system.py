@@ -93,6 +93,15 @@ class SlamSystem:
 
         self._mask_shift = cfg.tracker.min_level
 
+        # async pipeline (reference's mapping thread); sequential mode runs
+        # mapping inline for determinism (hz=0 semantics)
+        self.mapping_thread = None
+        if not cfg.system.sequential:
+            from lsd_slam_tpu.system.async_mapping import MappingThread
+            self.mapping_thread = MappingThread(
+                self, cfg.mapping.max_unmapped_queue)
+            self.mapping_thread.start()
+
     # ------------------------------------------------------------- helpers
 
     def _upsample_mask(self, mask) -> np.ndarray:
@@ -228,6 +237,8 @@ class SlamSystem:
 
         if self.cfg.system.sequential:
             self.do_mapping_iteration()
+        else:
+            self.mapping_thread.push(tracked)
 
         return node.cam_to_world()
 
@@ -357,8 +368,16 @@ class SlamSystem:
 
     # ------------------------------------------------------------- final
 
+    def block_until_mapped(self, timeout: float = 60.0):
+        """hz=0 blocking in async mode (SlamSystem.cpp:1030-1039)."""
+        if self.mapping_thread is not None:
+            self.mapping_thread.wait_until_drained(timeout)
+
     def finalize(self):
         """== SlamSystem::finalize (SlamSystem.cpp:225-263)."""
+        if self.mapping_thread is not None:
+            self.mapping_thread.wait_until_drained()
+            self.mapping_thread.stop()
         if self.current_keyframe is not None and self.tracking_is_good:
             if (self.current_keyframe.idx_in_keyframes < 0
                     and self.current_keyframe.num_mapped_on_this_total

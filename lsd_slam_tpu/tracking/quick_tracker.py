@@ -57,13 +57,13 @@ class QuickTracker:
         l = self.level
         caml = self.cam.level(l)
         ref_img, ref_idepth, ref_ivar, ref_valid = ref_level
-        img, gx, gy = frame_level
+        frame_packed = frame_level
         h, w = ref_img.shape
         min_points = cfg.min_goodperall_pixel_absmin * h * w
 
         def res(pose, a, b):
             return _residual_pass(pose, a, b, ref_img, ref_idepth, ref_ivar,
-                                  ref_valid, img, gx, gy, caml, cfg)
+                                  ref_valid, frame_packed, caml, cfg)
 
         pose = init_ref_to_frame
         buffers, stats = res(pose, 1.0, 0.0)
@@ -137,7 +137,7 @@ class QuickTracker:
 
     def _frame_slice(self, pyr):
         l = self.level
-        return (pyr.images[l], pyr.gx[l], pyr.gy[l])
+        return pyr.packed[l]
 
     def track(self, ref, frame_pyr, init_ref_to_frame) -> QuickTrackResult:
         """== trackFrameOnPermaref; init/result are ref->frame SE3."""
@@ -152,8 +152,7 @@ class QuickTracker:
         buffers, stats = _residual_pass(
             jnp.asarray(ref_to_frame, jnp.float32), 1.0, 0.0,
             ref.images[l], ref.idepth[l], ref.ivar[l], ref.valid[l],
-            frame_pyr.images[l], frame_pyr.gx[l], frame_pyr.gy[l],
-            caml, self.cfg)
+            frame_pyr.packed[l], caml, self.cfg)
         ref_num = jnp.maximum(jnp.sum(ref.valid[l]), 1).astype(jnp.float32)
         return float(stats["usage"] / ref_num)
 

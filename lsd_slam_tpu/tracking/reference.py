@@ -31,6 +31,12 @@ class TrackingRef:
     # keyframe gradients (needed by the Sim3 tracker's ESM averaging)
     gx: Tuple[jnp.ndarray, ...]
     gy: Tuple[jnp.ndarray, ...]
+    # gather-friendly packed layouts (see FramePyramid.packed):
+    # packed[l] = (H, W, 4) [image, gx, gy, 0];
+    # depth_packed[l] = (H, W, 2) [idepth, ivar] for the Sim3 tracker's
+    # nearest-neighbor depth-residual lookup
+    packed: Tuple[jnp.ndarray, ...]
+    depth_packed: Tuple[jnp.ndarray, ...]
 
 
 def make_tracking_ref(pyr: FramePyramid, depth: DepthPyramid) -> TrackingRef:
@@ -40,6 +46,8 @@ def make_tracking_ref(pyr: FramePyramid, depth: DepthPyramid) -> TrackingRef:
         idp = depth.idepth[l]
         interior = jnp.zeros_like(iv, dtype=bool).at[1:-1, 1:-1].set(True)
         valids.append((iv > 0) & (idp != 0) & interior)
+    import jax.numpy as _jnp
+
     return TrackingRef(
         images=pyr.images,
         idepth=depth.idepth,
@@ -47,4 +55,8 @@ def make_tracking_ref(pyr: FramePyramid, depth: DepthPyramid) -> TrackingRef:
         valid=tuple(valids),
         gx=pyr.gx,
         gy=pyr.gy,
+        packed=pyr.packed,
+        depth_packed=tuple(
+            _jnp.stack([depth.idepth[l], depth.ivar[l]], axis=-1)
+            for l in range(len(pyr.images))),
     )

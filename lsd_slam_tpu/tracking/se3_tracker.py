@@ -30,7 +30,7 @@ from lsd_slam_tpu import lie
 from lsd_slam_tpu.camera import Camera
 from lsd_slam_tpu.config import TrackerConfig
 from lsd_slam_tpu.frames.pyramid import FramePyramid
-from lsd_slam_tpu.ops.interp import bilinear3
+from lsd_slam_tpu.ops.interp import bilinear_packed
 from lsd_slam_tpu.tracking.reference import TrackingRef
 
 _HI = jax.lax.Precision.HIGHEST
@@ -55,7 +55,7 @@ class TrackResult:
 
 
 def _residual_pass(pose, aff_a, aff_b, ref_img, ref_idepth, ref_ivar,
-                   ref_valid, img, gx, gy, cam: Camera, cfg: TrackerConfig):
+                   ref_valid, frame_packed, cam: Camera, cfg: TrackerConfig):
     """One warp + gather + residual sweep (== calcResidualAndBuffers)."""
     h, w = ref_img.shape
     rot = lie.quat_to_matrix(pose[0:4])
@@ -77,7 +77,8 @@ def _residual_pass(pose, aff_a, aff_b, ref_img, ref_idepth, ref_ivar,
     v = wy / safe_wz * cam.fy + cam.cy
     in_img = (u > 1) & (v > 1) & (u < w - 2) & (v < h - 2) & ref_valid
 
-    i_new, gxn, gyn = bilinear3((img, gx, gy), u, v)
+    samp = bilinear_packed(frame_packed, u, v)
+    i_new, gxn, gyn = samp[..., 0], samp[..., 1], samp[..., 2]
 
     c1 = aff_a * ref_img + aff_b
     r = c1 - i_new
@@ -168,13 +169,13 @@ def _normal_equations(buffers, weight):
 def _track_level(pose, aff_a, aff_b, level_data, cam, cfg: TrackerConfig,
                  max_its: int, sigma2: float, use_affine: bool):
     """Full LM minimization on one pyramid level as a lax.while_loop."""
-    ref_img, ref_idepth, ref_ivar, ref_valid, img, gx, gy = level_data
+    ref_img, ref_idepth, ref_ivar, ref_valid, frame_packed = level_data
     h, w = ref_img.shape
     min_points = cfg.min_goodperall_pixel_absmin * h * w
 
     def res(pose, a, b):
         return _residual_pass(pose, a, b, ref_img, ref_idepth, ref_ivar,
-                              ref_valid, img, gx, gy, cam, cfg)
+                              ref_valid, frame_packed, cam, cfg)
 
     buffers, stats = res(pose, aff_a, aff_b)
     diverged0 = stats["in_count"] < min_points
@@ -267,8 +268,7 @@ class SE3Tracker:
         for l in range(cfg.max_level, cfg.min_level - 1, -1):
             caml = self.cam.level(l)
             level_data = (ref.images[l], ref.idepth[l], ref.ivar[l],
-                          ref.valid[l], frame.images[l], frame.gx[l],
-                          frame.gy[l])
+                          ref.valid[l], frame.packed[l])
             pose, aff_a, aff_b, last_err, div_l = _track_level(
                 pose, aff_a, aff_b, level_data, caml, cfg,
                 cfg.max_iterations[l], self.sigma2, self.use_affine)
@@ -280,8 +280,7 @@ class SE3Tracker:
         caml = self.cam.level(l)
         buffers, stats = _residual_pass(
             pose, aff_a, aff_b, ref.images[l], ref.idepth[l], ref.ivar[l],
-            ref.valid[l], frame.images[l], frame.gx[l], frame.gy[l],
-            caml, cfg)
+            ref.valid[l], frame.packed[l], caml, cfg)
         _, final_err = _weights_pass(pose, buffers, cfg, self.sigma2)
         n_pix = caml.width * caml.height
         ref_num = jnp.maximum(jnp.sum(ref.valid[l]), 1).astype(jnp.float32)

@@ -24,7 +24,7 @@ from flax import struct
 from lsd_slam_tpu import lie
 from lsd_slam_tpu.camera import Camera
 from lsd_slam_tpu.config import TrackerConfig
-from lsd_slam_tpu.ops.interp import bilinear3
+from lsd_slam_tpu.ops.interp import bilinear_packed
 from lsd_slam_tpu.tracking.reference import TrackingRef
 
 _HI = jax.lax.Precision.HIGHEST
@@ -59,8 +59,8 @@ def _roll_matrix(rot_unscaled):
 
 
 def _sim3_residual_pass(pose, aff_a, aff_b, ref_img, ref_idepth, ref_ivar,
-                        ref_valid, ref_gx, ref_gy, img, gx, gy,
-                        frame_idepth, frame_ivar, cam: Camera,
+                        ref_valid, ref_gx, ref_gy, frame_packed,
+                        frame_depth_packed, cam: Camera,
                         cfg: TrackerConfig, use_esm: bool):
     h, w = ref_img.shape
     s = pose[7]
@@ -84,7 +84,8 @@ def _sim3_residual_pass(pose, aff_a, aff_b, ref_img, ref_idepth, ref_ivar,
     v = wy / safe_wz * cam.fy + cam.cy
     in_img = (u > 1) & (v > 1) & (u < w - 2) & (v < h - 2) & ref_valid
 
-    i_new, gxn, gyn = bilinear3((img, gx, gy), u, v)
+    samp = bilinear_packed(frame_packed, u, v)
+    i_new, gxn, gyn = samp[..., 0], samp[..., 1], samp[..., 2]
 
     if use_esm:
         rollm = _roll_matrix(rot_unscaled)
@@ -117,11 +118,15 @@ def _sim3_residual_pass(pose, aff_a, aff_b, ref_img, ref_idepth, ref_ivar,
     aff_a_new = aff_a_inc * aff_a
     aff_b_new = aff_a_inc * aff_b + aff_b_inc
 
-    # depth residual at the rounded target pixel (Sim3Tracker.cpp:527-541)
+    # depth residual at the rounded target pixel (Sim3Tracker.cpp:527-541);
+    # flat row-gather of the packed [idepth, ivar] pair
     ui = jnp.clip((u + 0.5).astype(jnp.int32), 0, w - 1)
     vi = jnp.clip((v + 0.5).astype(jnp.int32), 0, h - 1)
-    f_var = frame_ivar[vi, ui]
-    f_id = frame_idepth[vi, ui]
+    dflat = frame_depth_packed.reshape(-1, 2)
+    didx = (vi * w + ui).reshape(-1)
+    dsamp = jnp.take(dflat, didx, axis=0, mode="clip").reshape(h, w, 2)
+    f_id = dsamp[..., 0]
+    f_var = dsamp[..., 1]
     has_depth = in_img & (f_var > 0)
     rd = jnp.where(has_depth, 1.0 / safe_wz - f_id, 0.0)
 
@@ -239,9 +244,8 @@ class Sim3Tracker:
             def res_pass(p, a, b, l=l, caml=caml):
                 return _sim3_residual_pass(
                     p, a, b, ref.images[l], ref.idepth[l], ref.ivar[l],
-                    ref.valid[l], ref.gx[l], ref.gy[l], frame.images[l],
-                    frame.gx[l], frame.gy[l], frame.idepth[l], frame.ivar[l],
-                    caml, cfg, cfg.use_esm_sim3)
+                    ref.valid[l], ref.gx[l], ref.gy[l], frame.packed[l],
+                    frame.depth_packed[l], caml, cfg, cfg.use_esm_sim3)
 
             buffers, stats = res_pass(pose, aff_a, aff_b)
             div0 = stats["in_count"] < min_pts
@@ -321,9 +325,8 @@ class Sim3Tracker:
         caml = self.cam.level(l)
         buffers, stats = _sim3_residual_pass(
             pose, aff_a, aff_b, ref.images[l], ref.idepth[l], ref.ivar[l],
-            ref.valid[l], ref.gx[l], ref.gy[l], frame.images[l],
-            frame.gx[l], frame.gy[l], frame.idepth[l], frame.ivar[l],
-            caml, cfg, cfg.use_esm_sim3)
+            ref.valid[l], ref.gx[l], ref.gy[l], frame.packed[l],
+            frame.depth_packed[l], caml, cfg, cfg.use_esm_sim3)
         wp, wd, mean, mean_d, mean_p = _sim3_weights(pose, buffers, cfg,
                                                      self.sigma2)
         A, _, _ = _sim3_normal_equations(buffers, wp, wd)

@@ -21,7 +21,7 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 
 # persistent compilation cache: XLA compiles are slow on this 2-vCPU host,
 # and the suite re-compiles the same programs every run otherwise
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ["JAX_COMPILATION_CACHE_DIR"] = "/root/.jax_cache_cpu"
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

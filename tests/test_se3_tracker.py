@@ -120,8 +120,7 @@ def test_single_pass_matches_numpy(pair):
     buffers, stats = _residual_pass(
         jnp.asarray(pose), jnp.float32(1.0), jnp.float32(0.0),
         jnp.asarray(img_a), jnp.asarray(idepth), jnp.asarray(ivar),
-        jnp.asarray(valid), pyr_b.images[0], pyr_b.gx[0], pyr_b.gy[0],
-        cam, cfg)
+        jnp.asarray(valid), pyr_b.packed[0], cam, cfg)
     weight, error = _weights_pass(jnp.asarray(pose), buffers, cfg, 16.0)
     A, g = _normal_equations(buffers, weight)
 
