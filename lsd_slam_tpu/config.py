@@ -179,6 +179,9 @@ class SystemConfig:
     pgo_final_iterations: int = 50
     pgo_min_change: float = 0.02
     pgo_final_min_change: float = 0.001
+    # re-run constraint search over every keyframe before the final
+    # optimization (== doFullReConstraintTrack, SlamSystem.cpp:332-350)
+    full_reconstraint_on_finalize: bool = False
 
 
 @dataclass(frozen=True)

@@ -36,6 +36,16 @@ class DepthMap:
         self.cfg = cfg
         dcfg, mcfg = cfg.depth, cfg.mapping
 
+        def _export_arrays(state):
+            # Frame::setDepth (Frame.cpp:199-243): export smoothed values
+            ok = state.valid & (state.idepth_smoothed >= -0.05)
+            idepth0 = jnp.where(ok, state.idepth_smoothed, -1.0)
+            ivar0 = jnp.where(ok, state.var_smoothed, -1.0)
+            num = jnp.maximum(jnp.sum(ok), 1)
+            mean_idepth = jnp.sum(
+                jnp.where(ok, state.idepth_smoothed, 0.0)) / num
+            return idepth0, ivar0, mean_idepth, jnp.sum(ok)
+
         @jax.jit
         def _observe(state, kf_img, kf_gx, kf_gy, kf_max_grad, ref_img,
                      ref_to_kf, ref_id, good_mask, tracking_residual,
@@ -45,12 +55,13 @@ class DepthMap:
                 ref_id, good_mask, tracking_residual, skip_inc,
                 cam, dcfg, mcfg)
             # post-observe sequence (updateKeyframe, DepthMap.cpp:1129-1153):
-            # fill holes then regularize(keep)
+            # fill holes then regularize(keep), then the depth export fused
+            # into the same program (one dispatch per mapping iteration)
             state = reg_mod.fill_holes(state, kf_max_grad, dcfg,
                                        mcfg.min_use_grad)
             state = reg_mod.regularize(state, False, dcfg.val_sum_min_for_keep,
                                        dcfg, mcfg.depth_smoothing_factor)
-            return state, stats
+            return state, stats, _export_arrays(state)
 
         @functools.partial(jax.jit, static_argnames=("have_good_mask",))
         def _create_kf(state, old_to_new, kf_img, new_img, new_max_grad,
@@ -129,15 +140,7 @@ class DepthMap:
                 next_min_id=jnp.zeros((h, w), jnp.float32),
             )
 
-        @jax.jit
-        def _export(state):
-            # Frame::setDepth (Frame.cpp:199-243): export smoothed values
-            ok = state.valid & (state.idepth_smoothed >= -0.05)
-            idepth0 = jnp.where(ok, state.idepth_smoothed, -1.0)
-            ivar0 = jnp.where(ok, state.var_smoothed, -1.0)
-            num = jnp.maximum(jnp.sum(ok), 1)
-            mean_idepth = jnp.sum(jnp.where(ok, state.idepth_smoothed, 0.0)) / num
-            return idepth0, ivar0, mean_idepth, jnp.sum(ok)
+        _export = jax.jit(_export_arrays)
 
         @jax.jit
         def _set_from_existing(re_idepth, re_var, re_validity):
@@ -167,6 +170,7 @@ class DepthMap:
         self._set_from_existing_jit = _set_from_existing
 
         self.state: Optional[DepthMapState] = None
+        self._fresh_export = None
         # reference bookkeeping (SlamSystem increments these)
         self.num_frames_tracked_on_this = 0
         self.num_mapped_on_this = 0
@@ -178,6 +182,7 @@ class DepthMap:
 
     def invalidate(self):
         self.state = None
+        self._fresh_export = None
 
     def initialize_randomly(self, kf_max_grad, seed: int = 0):
         self.state = self._init_random(jax.random.PRNGKey(seed),
@@ -206,11 +211,12 @@ class DepthMap:
         skip_inc = max(
             3.0, self.num_frames_tracked_on_this
             / float(self.num_mapped_on_this + 5))
-        self.state, stats = self._observe(
+        self.state, stats, export = self._observe(
             self.state, kf_pyr.images[0], kf_pyr.gx[0], kf_pyr.gy[0],
             kf_pyr.max_grad[0], jnp.asarray(ref_img), jnp.asarray(ref_to_kf),
             jnp.float32(ref_id), jnp.asarray(good_mask),
             jnp.float32(tracking_residual), jnp.float32(skip_inc))
+        self._fresh_export = export
         self.num_mapped_on_this += 1
         return stats
 
@@ -218,6 +224,7 @@ class DepthMap:
                         have_good_mask: bool):
         """Propagate into a new keyframe; returns the idepth rescale factor
         the caller must absorb into thisToParent (DepthMap.cpp:1285-1306)."""
+        self._fresh_export = None
         self.state, rescale = self._create_kf(
             self.state, jnp.asarray(old_to_new), jnp.asarray(old_kf_img),
             new_pyr.images[0], new_pyr.max_grad[0], jnp.asarray(good_mask),
@@ -227,11 +234,17 @@ class DepthMap:
         return float(rescale)
 
     def finalize_keyframe(self, kf_max_grad):
+        self._fresh_export = None
         self.state = self._finalize(self.state, jnp.asarray(kf_max_grad))
 
     def export_depth(self) -> Tuple[jnp.ndarray, jnp.ndarray, float, int]:
-        """(idepth0, ivar0, mean_idepth, num_points) for Frame::setDepth."""
-        idepth0, ivar0, mean_id, num = self._export(self.state)
+        """(idepth0, ivar0, mean_idepth, num_points) for Frame::setDepth.
+        Reuses the export fused into the last observe when fresh."""
+        if self._fresh_export is not None:
+            idepth0, ivar0, mean_id, num = self._fresh_export
+            self._fresh_export = None
+        else:
+            idepth0, ivar0, mean_id, num = self._export(self.state)
         return idepth0, ivar0, float(mean_id), int(num)
 
     def reactivation_snapshot(self):

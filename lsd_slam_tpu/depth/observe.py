@@ -79,19 +79,23 @@ def make_epl(t_r2k, kf_img, cam: Camera, cfg: DepthFilterConfig):
     return (epx * fac, epy * fac), (finite & ok_len & ok_grad & ok_angle)
 
 
-def line_stereo(prior_idepth, min_idepth, max_idepth, epxn, epyn,
+def line_stereo(xs, ys, prior_idepth, min_idepth, max_idepth, epxn, epyn,
                 kf_img, kf_gx, kf_gy, ref_img,
                 kf_to_ref, ref_to_kf, tracking_error_fac,
                 cam: Camera, dcfg: DepthFilterConfig, mcfg: MappingConfig,
                 use_subpixel: bool):
-    """Vectorized doLineStereo over the whole keyframe grid.
+    """Vectorized doLineStereo over an arbitrary point set.
 
-    Returns (code, result_idepth, result_var, result_epl_length,
-    best_match_err). All inputs (H, W) except poses/scalars.
+    xs/ys: pixel coordinates of the points to process (any shape N...);
+    per-point inputs (prior/min/max idepth, epl dirs, kf_gx/kf_gy) share
+    that shape; kf_img/ref_img stay full (H, W) for sampling. Returns
+    (code, result_idepth, result_var, result_epl_length, best_match_err)
+    in the point shape. Compaction to the active point set is what makes
+    this sweep fast on TPU — gathers cost per row, so running the 38-sample
+    lattice only on active semi-dense pixels (~15% of the grid) is the
+    single biggest mapping optimization.
     """
     h, w = kf_img.shape
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
 
     R_k2r = lie.quat_to_matrix(kf_to_ref[0:4])
     t_k2r = kf_to_ref[4:7]
@@ -110,8 +114,8 @@ def line_stereo(prior_idepth, min_idepth, max_idepth, epxn, epyn,
     safe_prior = jnp.maximum(prior_idepth, _DIV_EPS)
     rescale = p_inf[..., 2] + Kt[2] * safe_prior   # == pReal_z * prior
 
-    ok = jnp.ones((h, w), bool)
-    code = jnp.zeros((h, w), jnp.int32)
+    ok = jnp.ones(xs.shape, bool)
+    code = jnp.zeros(xs.shape, jnp.int32)
 
     def fail(ok, code, cond, c):
         newly = ok & cond
@@ -184,7 +188,11 @@ def line_stereo(prior_idepth, min_idepth, max_idepth, epxn, epyn,
                     (pfx <= b) | (pfx >= w - b) | (pfy <= b) | (pfy >= h - b),
                     ERR_OOB)
 
-    # near point outside: clamp along the line (DepthMap.cpp:1566-1613)
+    # near point outside: clamp along the line (DepthMap.cpp:1566-1613).
+    # NOTE: the min-length-8 rejection applies only when the near point was
+    # actually clamped (it's nested inside that branch in the reference) —
+    # ordinary short EPLs are padded to MIN_EPL_LENGTH_CROP and pass.
+    was_outside = (pcx <= b) | (pcx >= w - b) | (pcy <= b) | (pcy >= h - b)
     sx = _unzero(incx)
     sy = _unzero(incy)
     to_add = jnp.where(pcx <= b, (b - pcx) / sx,
@@ -198,7 +206,7 @@ def line_stereo(prior_idepth, min_idepth, max_idepth, epxn, epyn,
     new_len = jnp.sqrt((pcx - pfx) ** 2 + (pcy - pfy) ** 2)
     ok, code = fail(ok, code,
                     (pcx <= b) | (pcx >= w - b) | (pcy <= b) | (pcy >= h - b)
-                    | (new_len < 8.0), ERR_OOB)
+                    | (was_outside & (new_len < 8.0)), ERR_OOB)
 
     n_steps = jnp.clip(jnp.floor(new_len + 1e-3).astype(jnp.int32) + 1,
                        1, MAX_STEPS)
@@ -209,18 +217,19 @@ def line_stereo(prior_idepth, min_idepth, max_idepth, epxn, epyn,
     qy = pfy[..., None] + ms * incy[..., None]
     samp = bilinear(ref_img, qx, qy)                      # (h, w, S)
 
-    ee = jnp.zeros((h, w, MAX_STEPS), jnp.float32)
+    ee = jnp.zeros(xs.shape + (MAX_STEPS,), jnp.float32)
     for j in range(5):
         d = samp[..., j:j + MAX_STEPS] - real_vals[..., j:j + 1]
         ee = ee + d * d
 
-    ks = jnp.arange(MAX_STEPS)
-    in_search = ks[None, None, :] < n_steps[..., None]
+    ks_shape = (1,) * xs.ndim + (MAX_STEPS,)
+    ks = jnp.arange(MAX_STEPS).reshape(ks_shape)
+    in_search = ks < n_steps[..., None]
     ee_m = jnp.where(in_search, ee, jnp.inf)
     best_k = jnp.argmin(ee_m, axis=-1)
     best_err = jnp.take_along_axis(ee_m, best_k[..., None], -1)[..., 0]
 
-    nonadj = in_search & (jnp.abs(ks[None, None, :] - best_k[..., None]) > 1)
+    nonadj = in_search & (jnp.abs(ks - best_k[..., None]) > 1)
     second_err = jnp.min(jnp.where(nonadj, ee, jnp.inf), axis=-1)
 
     ok, code = fail(ok, code, best_err > 4.0 * dcfg.max_error_stereo, ERR_BIG)
@@ -332,12 +341,19 @@ def observe(state: DepthMapState, kf_img, kf_gx, kf_gy, kf_max_grad,
             ref_img, ref_to_kf, ref_frame_id, good_mask,
             tracking_residual, skip_inc,
             cam: Camera, dcfg: DepthFilterConfig, mcfg: MappingConfig,
-            reactivated: bool = False):
+            reactivated: bool = False, point_budget: int = 0):
     """One observation sweep against one tracked frame.
 
     == observeDepthRow create/update dispatch (DepthMap.cpp:105-473) with
-    the whole grid in flight. Returns (new_state, stats)."""
+    the active semi-dense pixel set compacted to a fixed budget: the cheap
+    per-pixel prep (epl checks, priors) runs full-grid, then the expensive
+    38-sample EPL search runs only on gathered active points and results
+    scatter back. Truncation above the budget is decorrelated across frames
+    by a frame-dependent roll, so starved pixels get their turn next sweep.
+    Returns (new_state, stats)."""
     h, w = kf_img.shape
+    if point_budget <= 0:
+        point_budget = max(8192, -(-(h * w) // 6 // 8192) * 8192)
     kf_to_ref = lie.se3_inverse(ref_to_kf)
     t_r2k = ref_to_kf[4:7]
 
@@ -364,12 +380,42 @@ def observe(state: DepthMapState, kf_img, kf_gx, kf_gy, kf_max_grad,
     min_id = jnp.where(can_update, upd_min, 0.0)
     max_id = jnp.where(can_update, upd_max, 1.0 / dcfg.min_depth)
 
-    tef = 0.25 * (1.0 + tracking_residual)
-    code, r_idepth, r_var, r_epl, _ = line_stereo(
-        prior, min_id, max_id, epxn, epyn, kf_img, kf_gx, kf_gy, ref_img,
-        kf_to_ref, ref_to_kf, tef, cam, dcfg, mcfg, mcfg.use_subpixel_stereo)
+    # ---- compact the active set (fixed budget) ----
+    n_pix = h * w
+    process = (can_update | can_create) & epl_ok
+    shift = jnp.mod((ref_frame_id * 37831.0), n_pix).astype(jnp.int32)
+    rolled = jnp.roll(process.reshape(-1), shift)
+    idx_r = jnp.nonzero(rolled, size=point_budget, fill_value=-1)[0]
+    valid_k = idx_r >= 0
+    flat_idx = jnp.where(valid_k,
+                         jnp.mod(idx_r - shift, n_pix), 0)
 
-    code = jnp.where(epl_ok, code, ERR_OOB)  # epl-check failures: skip quietly
+    def take(a):
+        return a.reshape(-1)[flat_idx]
+
+    xs_k = (flat_idx % w).astype(jnp.float32)
+    ys_k = (flat_idx // w).astype(jnp.float32)
+
+    tef = 0.25 * (1.0 + tracking_residual)
+    code_k, id_k, var_k, epl_k, _ = line_stereo(
+        xs_k, ys_k, take(prior), take(min_id), take(max_id),
+        take(epxn), take(epyn), kf_img, take(kf_gx), take(kf_gy), ref_img,
+        kf_to_ref, ref_to_kf, tef, cam, dcfg, mcfg,
+        mcfg.use_subpixel_stereo)
+
+    # ---- scatter results back to the grid (sentinel code for untouched) ----
+    SKIP = jnp.int32(-100)
+    tgt = jnp.where(valid_k, flat_idx, n_pix)
+
+    def scatter(vals, fill, dtype=jnp.float32):
+        buf = jnp.full((n_pix + 1,), fill, dtype)
+        return buf.at[tgt].set(vals)[:n_pix].reshape(h, w)
+
+    code = scatter(code_k, SKIP, jnp.int32)
+    r_idepth = scatter(id_k, 0.0)
+    r_var = scatter(var_k, 0.0)
+    r_epl = scatter(epl_k, 1e9)
+
     success = code == OK
 
     # ---------------- create path (DepthMap.cpp:237-292) ----------------
@@ -442,5 +488,7 @@ def observe(state: DepthMapState, kf_img, kf_gx, kf_gy, kf_max_grad,
         killed=jnp.sum(killed),
         oob=jnp.sum((code == ERR_OOB) & (upd_try | create_try)),
         blacklisted=jnp.sum(create_blacklist),
+        active=jnp.sum(process),
+        processed=jnp.sum(valid_k),
     )
     return new_state, stats

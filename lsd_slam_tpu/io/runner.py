@@ -16,7 +16,8 @@ import numpy as np
 
 
 def parse_args(argv):
-    args = {"hz": 0.0, "out": "lsd_out", "vo": False}
+    args = {"hz": 0.0, "out": "lsd_out", "vo": False, "dump": False,
+            "checkpoint": None, "resume": None}
     for a in argv:
         if a.startswith("files:"):
             args["files"] = a[6:]
@@ -26,8 +27,14 @@ def parse_args(argv):
             args["hz"] = float(a[3:])
         elif a.startswith("out:"):
             args["out"] = a[4:]
+        elif a.startswith("checkpoint:"):
+            args["checkpoint"] = a[11:]
+        elif a.startswith("resume:"):
+            args["resume"] = a[7:]
         elif a == "vo":
             args["vo"] = True
+        elif a == "dump":
+            args["dump"] = True
     return args
 
 
@@ -45,13 +52,28 @@ def main(argv=None):
         raise SystemExit("need calib:<file>")
 
     cfg = LSDConfig(width=cam.width, height=cam.height)
-    system = SlamSystem(cam, cfg, enable_slam=not args["vo"])
+    # hz != 0 selects the async pipeline (tracking thread + mapping thread);
+    # hz == 0 is the deterministic sequential mode (README.md:139)
+    if args["hz"] != 0.0:
+        from lsd_slam_tpu.config import SystemConfig
+        cfg = cfg.replace(system=SystemConfig(sequential=False))
+    if args["resume"]:
+        from lsd_slam_tpu.io.checkpoint import load_system
+        system = load_system(args["resume"], cfg,
+                             enable_slam=not args["vo"])
+        print(f"resumed from {args['resume']}: "
+              f"{len(system.keyframes)} keyframes", flush=True)
+    else:
+        system = SlamSystem(cam, cfg, enable_slam=not args["vo"])
     out = FileOutput3DWrapper(args["out"])
 
     t_start = time.time()
     n = 0
+    resumed = args["resume"] is not None
+    id_offset = (system.trajectory[-1][1] + 1) if resumed else 0
     for i, ts, img in src:
-        if i == 0:
+        i = i + id_offset
+        if i == 0 and not resumed:
             system.random_init(img, i, ts)
         else:
             pose = system.track_frame(img, i, ts)
@@ -64,6 +86,13 @@ def main(argv=None):
                   f"kfs={len(system.keyframes)}", flush=True)
 
     system.finalize()
+    if args["checkpoint"]:
+        from lsd_slam_tpu.io.checkpoint import save_system
+        save_system(args["checkpoint"], system)
+        print(f"checkpoint -> {args['checkpoint']}", flush=True)
+    if args["dump"]:
+        from lsd_slam_tpu.io.dump import dump_map
+        dump_map(os.path.join(args["out"], "dump"), system)
     for kf in system.keyframes:
         out.publish_keyframe(kf)
     if system.backend is not None and system.backend._graph is not None:
@@ -76,6 +105,8 @@ def main(argv=None):
     el = time.time() - t_start
     print(f"done: {n} frames in {el:.1f}s ({n/el:.1f} fps), "
           f"{len(system.keyframes)} keyframes, {n_pts} points", flush=True)
+    print("timing:", system.timers.summary(), flush=True)
+    print("stats:", system.stats.format(), flush=True)
 
 
 if __name__ == "__main__":

@@ -72,10 +72,24 @@ class MappingBackend:
             return None
         return self._graph.relocalize(pyr)
 
+    def full_reconstraint_search(self):
+        """Re-search constraints for every keyframe
+        (== doFullReConstraintTrack, SlamSystem.cpp:332-350)."""
+        if self._graph is None:
+            return 0
+        n = 0
+        for kf in list(self.system.keyframes):
+            n += self._graph.find_constraints_for_new_keyframe(
+                kf, force_parent=False)
+        return n
+
     def finalize(self):
         """Final full optimization (SlamSystem.cpp:225-263)."""
         if self._graph is None:
             return
+        if self.system.cfg.system.full_reconstraint_on_finalize:
+            self.full_reconstraint_search()
+            self._graph.optimize_slices()
         self._graph.optimize_final()
         self._have_unmerged = True
         self.merge_optimization_offset()

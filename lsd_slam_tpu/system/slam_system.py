@@ -28,7 +28,8 @@ from lsd_slam_tpu.frames import build_frame
 from lsd_slam_tpu.depth import DepthMap
 from lsd_slam_tpu.tracking import SE3Tracker
 from lsd_slam_tpu.system.poses import PoseNode, PoseRegistry
-from lsd_slam_tpu.system.keyframe import Keyframe
+from lsd_slam_tpu.system.keyframe import Keyframe, KeyframeMemory
+from lsd_slam_tpu.utils.stats import RunningStats, StageTimers
 
 
 class TrackedFrame:
@@ -80,6 +81,13 @@ class SlamSystem:
         # tracking diagnostics (SlamSystem.h:115-118)
         self.tracking_last_residual = 0.0
         self.tracking_last_usage = 0.0
+        # observability (== RunningStats + EWMA stage timers, SURVEY 5.1/5.5)
+        self.stats = RunningStats()
+        self.timers = StageTimers()
+        # active-keyframe device-memory budget (== FrameMemory LRU;
+        # reference keeps maxLoopClosureCandidates+20 active)
+        self.frame_memory = KeyframeMemory(
+            cfg.keyframe.max_loop_closure_candidates + 20)
 
         # SLAM back-end (created lazily to keep VO mode light); filled in by
         # lsd_slam_tpu.mapping integration
@@ -127,7 +135,9 @@ class SlamSystem:
                           self.cfg.system.pyramid_levels,
                           self.cfg.mapping.min_use_grad)
         node = self._new_pose_node(frame_id)
-        kf = Keyframe(frame_id, timestamp, pyr, node)
+        kf = Keyframe(frame_id, timestamp, pyr, node,
+                      self.cfg.system.pyramid_levels,
+                      self.cfg.mapping.min_use_grad)
         self.map.initialize_randomly(pyr.max_grad[0], seed=self.seed)
         self._export_depth_to(kf)
         self._install_keyframe(kf)
@@ -141,7 +151,9 @@ class SlamSystem:
                           self.cfg.system.pyramid_levels,
                           self.cfg.mapping.min_use_grad)
         node = self._new_pose_node(frame_id)
-        kf = Keyframe(frame_id, timestamp, pyr, node)
+        kf = Keyframe(frame_id, timestamp, pyr, node,
+                      self.cfg.system.pyramid_levels,
+                      self.cfg.mapping.min_use_grad)
         d = np.asarray(depth, np.float32)
         gt_idepth = np.where(d > 0, 1.0 / np.maximum(d, 1e-6), 0.0)
         self.map.initialize_from_gt(jnp.asarray(gt_idepth), pyr.max_grad[0])
@@ -182,11 +194,14 @@ class SlamSystem:
             nps.sim3_mul(nps.sim3_inverse(kf.pose.cam_to_world()),
                          last_node.cam_to_world()))
 
-        res = self.tracker.track(kf.tracking_ref, pyr,
-                                 jnp.asarray(init_f2r, jnp.float32))
+        with self.timers.time("track"):
+            res = self.tracker.track(kf.tracking_ref, pyr,
+                                     jnp.asarray(init_f2r, jnp.float32))
+            diverged_now = bool(res.diverged)
 
-        diverged = bool(res.diverged)
+        diverged = diverged_now
         tracking_good = bool(res.tracking_good)
+        self.stats.bump("frames_tracked")
         self.tracking_last_residual = float(res.last_residual)
         self.tracking_last_usage = float(res.point_usage)
 
@@ -273,11 +288,13 @@ class SlamSystem:
         if tracked is None or tracked.parent_kf_id != kf.id:
             return False
         ref_to_kf = nps.se3_from_sim3(tracked.pose.this_to_parent)
-        self.map.update_keyframe(
-            kf.pyr, tracked.pyr.images[0],
-            jnp.asarray(ref_to_kf, jnp.float32), float(tracked.id),
-            jnp.asarray(tracked.good_mask),
-            tracked.initial_tracked_residual)
+        with self.timers.time("map_observe"):
+            obs_stats = self.map.update_keyframe(
+                kf.pyr, tracked.pyr.images[0],
+                jnp.asarray(ref_to_kf, jnp.float32), float(tracked.id),
+                jnp.asarray(tracked.good_mask),
+                tracked.initial_tracked_residual)
+        self.stats.add("observe", {k: float(v) for k, v in obs_stats.items()})
         kf.num_mapped_on_this += 1
         kf.num_mapped_on_this_total += 1
         self._export_depth_to(kf)
@@ -286,19 +303,19 @@ class SlamSystem:
     def finish_current_keyframe(self):
         """== finishCurrentKeyframe (SlamSystem.cpp:395-427)."""
         kf = self.current_keyframe
-        self.map.finalize_keyframe(kf.pyr.max_grad[0])
+        with self.timers.time("finalize_kf"):
+            self.map.finalize_keyframe(kf.pyr.max_grad[0])
         self._export_depth_to(kf)
         kf.reactivation = self.map.reactivation_snapshot()
-        if self.enable_slam:
-            if kf.idx_in_keyframes < 0:
-                kf.idx_in_keyframes = len(self.keyframes)
-                self.keyframes.append(kf)
-                if self.backend is not None:
-                    self.backend.on_new_keyframe(kf)
-        else:
-            if kf.idx_in_keyframes < 0:
-                kf.idx_in_keyframes = len(self.keyframes)
-                self.keyframes.append(kf)
+        if kf.idx_in_keyframes < 0:
+            kf.idx_in_keyframes = len(self.keyframes)
+            self.keyframes.append(kf)
+            if self.enable_slam and self.backend is not None:
+                self.backend.on_new_keyframe(kf)
+        self.frame_memory.touch(kf)
+        n_min = self.frame_memory.prune(self.keyframes, self.current_keyframe)
+        if n_min:
+            self.stats.bump("keyframes_minimized", n_min)
 
     def change_keyframe(self, no_create: bool, force: bool, max_score: float):
         """== changeKeyframe (SlamSystem.cpp:507-540): re-activate a close
@@ -324,12 +341,14 @@ class SlamSystem:
         frame_to_kf = nps.se3_from_sim3(tracked.pose.this_to_parent)
         old_to_new = nps.se3_inverse(frame_to_kf)
         have_mask = tracked.parent_kf_id == old_kf.id
+        self.stats.bump("keyframes_created")
         rescale = self.map.create_keyframe(
             jnp.asarray(old_to_new, jnp.float32), old_kf.pyr.images[0],
             tracked.pyr, jnp.asarray(tracked.good_mask), have_mask)
 
         new_kf = Keyframe(tracked.id, tracked.timestamp, tracked.pyr,
-                          tracked.pose)
+                          tracked.pose, self.cfg.system.pyramid_levels,
+                          self.cfg.mapping.min_use_grad)
         new_kf.initial_tracked_residual = tracked.initial_tracked_residual
         # absorb the idepth renormalization into thisToParent
         # (DepthMap.cpp:1285-1306)

@@ -1,0 +1,106 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: the distributed
+PGO normal equations must match the single-device assembly exactly, and
+sharded candidate tracking must match the unsharded batch."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lsd_slam_tpu.lie import np_sim3 as nps
+from lsd_slam_tpu.mapping.pose_graph import PoseGraph, _assemble
+from lsd_slam_tpu.parallel import (make_mesh, distributed_pgo_normal_equations,
+                                   distributed_pgo_step, sharded_quick_track)
+
+
+def _random_graph(rng, n_vertices, n_edges):
+    poses = np.tile(nps.sim3_identity(), (n_vertices, 1)).astype(np.float32)
+    poses[:, 4:7] = rng.normal(0, 0.3, (n_vertices, 3))
+    efrom = rng.integers(0, n_vertices, n_edges).astype(np.int32)
+    eto = (efrom + 1 + rng.integers(0, n_vertices - 1, n_edges)) % n_vertices
+    eto = eto.astype(np.int32)
+    meas = np.tile(nps.sim3_identity(), (n_edges, 1)).astype(np.float32)
+    meas[:, 4:7] = rng.normal(0, 0.1, (n_edges, 3))
+    meas_inv = np.stack([nps.sim3_inverse(m) for m in meas]).astype(np.float32)
+    info = np.tile(np.eye(7, dtype=np.float32), (n_edges, 1, 1))
+    deltas = np.full(n_edges, 1e6, np.float32)
+    return poses, efrom, eto, meas_inv, info, deltas
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_distributed_assembly_matches_single_device():
+    rng = np.random.default_rng(0)
+    n_v, n_e = 10, 24  # divisible by 8
+    poses, efrom, eto, meas_inv, info, deltas = _random_graph(rng, n_v, n_e)
+
+    H1, g1, chi1 = _assemble(jnp.asarray(poses), jnp.asarray(efrom),
+                             jnp.asarray(eto), jnp.asarray(meas_inv),
+                             jnp.asarray(info), jnp.asarray(deltas), n_v)
+
+    mesh = make_mesh(8)
+    fn = distributed_pgo_normal_equations(mesh, n_v)
+    H2, g2, chi2 = fn(jnp.asarray(poses), jnp.asarray(efrom),
+                      jnp.asarray(eto), jnp.asarray(meas_inv),
+                      jnp.asarray(info), jnp.asarray(deltas))
+
+    np.testing.assert_allclose(np.asarray(H1), np.asarray(H2),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(float(jnp.sum(chi1)), float(chi2), rtol=1e-4)
+
+
+def test_distributed_step_reduces_chi2():
+    rng = np.random.default_rng(1)
+    n_v, n_e = 8, 16
+    poses, efrom, eto, meas_inv, info, deltas = _random_graph(rng, n_v, n_e)
+    fixed = np.zeros(n_v, bool)
+    fixed[0] = True
+    mesh = make_mesh(8)
+    step = distributed_pgo_step(mesh, n_v)
+    p = jnp.asarray(poses)
+    chis = []
+    for _ in range(6):
+        p, chi = step(p, jnp.asarray(fixed), jnp.asarray(efrom),
+                      jnp.asarray(eto), jnp.asarray(meas_inv),
+                      jnp.asarray(info), jnp.asarray(deltas),
+                      jnp.float32(1e-6))
+        chis.append(float(chi))
+    assert chis[-1] < 0.5 * chis[0], chis
+
+
+def test_sharded_quick_track_matches_batch():
+    from lsd_slam_tpu.tracking.quick_tracker import QuickTracker
+    from lsd_slam_tpu.camera import Camera
+
+    rng = np.random.default_rng(2)
+    width, height = 64, 48
+    cam = Camera(fx=0.7 * width, fy=0.7 * width, cx=(width - 1) / 2,
+                 cy=(height - 1) / 2, width=width, height=height)
+    qt = QuickTracker(cam)
+    l = qt.level
+    h4, w4 = height >> l, width >> l
+    n_kf = 8
+    imgs = rng.uniform(0, 255, (n_kf, h4, w4)).astype(np.float32)
+    idepth = np.full((n_kf, h4, w4), 0.5, np.float32)
+    ivar = np.full((n_kf, h4, w4), 0.01, np.float32)
+    valid = np.ones((n_kf, h4, w4), bool)
+    frame_packed = jnp.asarray(np.stack(
+        [imgs[0], np.zeros_like(imgs[0]), np.zeros_like(imgs[0]),
+         np.zeros_like(imgs[0])], axis=-1))
+    inits = np.tile(np.array([1, 0, 0, 0, 0, 0, 0], np.float32), (n_kf, 1))
+
+    refs = (jnp.asarray(imgs), jnp.asarray(idepth), jnp.asarray(ivar),
+            jnp.asarray(valid))
+    batch = qt._trackN(refs, frame_packed, jnp.asarray(inits))
+
+    mesh = make_mesh(8)
+    fn = sharded_quick_track(mesh, qt)
+    out = fn(refs, frame_packed, jnp.asarray(inits))
+    np.testing.assert_allclose(np.asarray(batch.ref_to_frame),
+                               np.asarray(out[0]), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(batch.tracking_good),
+                                  np.asarray(out[1]))

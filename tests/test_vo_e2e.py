@@ -59,14 +59,17 @@ def test_vo_creates_keyframes(sequence):
 
 
 def test_vo_depth_improves_with_observations(sequence):
-    """The depth filter should refine GT-seeded depth consistently: after
-    several observations the depth map keeps good coverage and low error."""
+    """The depth filter must actually observe: successful stereo updates
+    must happen (guards against silently-failing sweeps), and GT-seeded
+    depth must stay accurate."""
     cam, imgs, deps, gt_poses = sequence
     cfg = LSDConfig(width=W, height=H)
     sys = SlamSystem(cam, cfg, enable_slam=False)
     sys.gt_depth_init(imgs[0], deps[0], 0, 0.0)
     for i in range(1, 8):
         sys.track_frame(imgs[i], i, float(i) / 30.0)
+    counters = sys.stats.snapshot()
+    assert counters.get("observe_updated", 0) > 500, counters
     kf = sys.current_keyframe
     if kf.id == 0:  # still the first KF: compare against its GT depth
         idepth = np.asarray(kf.depth.idepth[0])
