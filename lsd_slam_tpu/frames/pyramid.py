@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from lsd_slam_tpu.ops.interp import quad_pack
+
 
 @struct.dataclass
 class FramePyramid:
@@ -35,11 +37,11 @@ class FramePyramid:
     gx: Tuple[jnp.ndarray, ...]
     gy: Tuple[jnp.ndarray, ...]
     max_grad: Tuple[jnp.ndarray, ...]
-    # packed (H, W, 4) [image, gx, gy, 0] per level: the gather-friendly
-    # layout the trackers sample from (TPU gathers cost per row, so all
-    # channels ride one row — same idea as the reference's Vector4f
-    # gradient array, Frame.cpp:643-680)
-    packed: Tuple[jnp.ndarray, ...]
+    # quad-packed (H*W, 12) [image, gx, gy] x 4 bilinear taps per level:
+    # the gather-friendly layout the trackers sample from with a single
+    # row-gather (see ops.interp.quad_pack; same idea as the reference's
+    # Vector4f gradient array, Frame.cpp:643-680, plus the 2x2 footprint)
+    quad: Tuple[jnp.ndarray, ...]
     num_mappable: jnp.ndarray  # scalar: level-0 pixels with max_grad >= thresh
 
 
@@ -102,10 +104,10 @@ def build_frame(image: jnp.ndarray, levels: int = 5,
         gxs.append(gx)
         gys.append(gy)
         mgs.append(mg)
-        packs.append(jnp.stack([img, gx, gy, jnp.zeros_like(img)], axis=-1))
+        packs.append(quad_pack((img, gx, gy)))
     return FramePyramid(
         images=tuple(images), gx=tuple(gxs), gy=tuple(gys),
-        max_grad=tuple(mgs), packed=tuple(packs), num_mappable=num_mappable,
+        max_grad=tuple(mgs), quad=tuple(packs), num_mappable=num_mappable,
     )
 
 

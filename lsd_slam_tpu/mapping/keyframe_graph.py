@@ -17,6 +17,7 @@ import random
 from typing import Dict, List, Optional, Set, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from lsd_slam_tpu.lie import np_sim3 as nps
@@ -518,12 +519,8 @@ class KeyFrameGraph:
             return None
         kcfg = self.system.cfg.keyframe
         l = self.quick_tracker.level
-        refs = (
-            jnp.stack([kf.tracking_ref.images[l] for kf in kfs]),
-            jnp.stack([kf.tracking_ref.idepth[l] for kf in kfs]),
-            jnp.stack([kf.tracking_ref.ivar[l] for kf in kfs]),
-            jnp.stack([kf.tracking_ref.valid[l] for kf in kfs]),
-        )
+        refs = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[kf.tracking_ref.pts[l] for kf in kfs])
         inits = np.tile(nps.se3_identity(), (len(kfs), 1)).astype(np.float32)
         res = self.quick_tracker.track_batch(refs, pyr, inits)
         good = np.asarray(res.tracking_good)

@@ -128,7 +128,9 @@ def sharded_quick_track(mesh: Mesh, quick_tracker):
 
     fn = shard_map(
         local, mesh=mesh,
-        in_specs=((P(AXIS), P(AXIS), P(AXIS), P(AXIS)), P(), P(AXIS)),
+        # refs is a PointSet pytree of (N, ...) stacked arrays; a single
+        # P(AXIS) is a pytree prefix that shards every leaf on axis 0
+        in_specs=(P(AXIS), P(), P(AXIS)),
         out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
         # the LM while_loop carries replicated scalars that become varying
         # per-shard; skip the varying-manual-axes check

@@ -51,19 +51,17 @@ class QuickTracker:
         self._trackN = jax.jit(jax.vmap(self._impl,
                                         in_axes=(0, None, 0)))
 
-    def _impl(self, ref_level, frame_level, init_ref_to_frame):
-        """ref_level / frame_level: tuples of level-l arrays (see track())."""
+    def _impl(self, ref_pts, frame_level, init_ref_to_frame):
+        """ref_pts: level-l PointSet; frame_level: level-l quad layout."""
         cfg = self.cfg
         l = self.level
         caml = self.cam.level(l)
-        ref_img, ref_idepth, ref_ivar, ref_valid = ref_level
-        frame_packed = frame_level
-        h, w = ref_img.shape
+        frame_quad = frame_level
+        h, w = caml.height, caml.width
         min_points = cfg.min_goodperall_pixel_absmin * h * w
 
         def res(pose, a, b):
-            return _residual_pass(pose, a, b, ref_img, ref_idepth, ref_ivar,
-                                  ref_valid, frame_packed, caml, cfg)
+            return _residual_pass(pose, a, b, ref_pts, frame_quad, caml, cfg)
 
         pose = init_ref_to_frame
         buffers, stats = res(pose, 1.0, 0.0)
@@ -114,7 +112,7 @@ class QuickTracker:
         good = stats["good_count"].astype(jnp.float32)
         bad = stats["bad_count"].astype(jnp.float32)
         n_pix = float(h * w)
-        ref_num = jnp.maximum(jnp.sum(ref_valid), 1).astype(jnp.float32)
+        ref_num = jnp.maximum(ref_pts.n_valid, 1.0)
         tracking_good = (~out["diverged"]
                          & (good / n_pix > cfg.min_goodperall_pixel)
                          & (good / jnp.maximum(good + bad, 1.0)
@@ -132,12 +130,10 @@ class QuickTracker:
     # ------------------------------------------------------------- api
 
     def _ref_slice(self, ref):
-        l = self.level
-        return (ref.images[l], ref.idepth[l], ref.ivar[l], ref.valid[l])
+        return ref.pts[self.level]
 
     def _frame_slice(self, pyr):
-        l = self.level
-        return pyr.packed[l]
+        return pyr.quad[self.level]
 
     def track(self, ref, frame_pyr, init_ref_to_frame) -> QuickTrackResult:
         """== trackFrameOnPermaref; init/result are ref->frame SE3."""
@@ -149,16 +145,16 @@ class QuickTracker:
         (SE3Tracker.cpp:121-158)."""
         l = self.level
         caml = self.cam.level(l)
+        pts = ref.pts[l]
         buffers, stats = _residual_pass(
             jnp.asarray(ref_to_frame, jnp.float32), 1.0, 0.0,
-            ref.images[l], ref.idepth[l], ref.ivar[l], ref.valid[l],
-            frame_pyr.packed[l], caml, self.cfg)
-        ref_num = jnp.maximum(jnp.sum(ref.valid[l]), 1).astype(jnp.float32)
+            pts, frame_pyr.quad[l], caml, self.cfg)
+        ref_num = jnp.maximum(pts.n_valid, 1.0)
         return float(stats["usage"] / ref_num)
 
     def track_batch(self, refs_stacked, frame_pyr, init_poses) -> QuickTrackResult:
         """Batched quick track: one frame against N stacked keyframe refs.
 
-        refs_stacked: tuple of stacked level-4 arrays (N, h4, w4)."""
+        refs_stacked: a PointSet of stacked (N, budget4) level-4 arrays."""
         return self._trackN(refs_stacked, self._frame_slice(frame_pyr),
                             jnp.asarray(init_poses, jnp.float32))

@@ -2,9 +2,12 @@
 
 TPU-native re-design of SE3Tracker (src/Tracking/SE3Tracker.{h,cpp}):
 
-  * the reference's compacted SoA buffers + SSE lanes become full-grid
-    masked math (calcResidualAndBuffers == one fused warp/gather pass over
-    the (H_l, W_l) lattice, SE3Tracker.cpp:885-1029);
+  * the reference's compacted SoA buffers + SSE lanes become compacted
+    fixed-budget point vectors (PointSet): calcResidualAndBuffers
+    (SE3Tracker.cpp:885-1029) is one warp + ONE quad-packed row-gather
+    over the point set — gathers are ~87% of pass cost on TPU and scale
+    with point count, so the compaction mirrors the reference's
+    makePointCloud for the same reason SSE code compacts;
   * variance-weighted Huber weights match calcWeightsAndResidual
     (SE3Tracker.cpp:749-790);
   * the LGS6 normal equations A = sum w J J^T, g = sum w r J (LGSX.h,
@@ -30,8 +33,8 @@ from lsd_slam_tpu import lie
 from lsd_slam_tpu.camera import Camera
 from lsd_slam_tpu.config import TrackerConfig
 from lsd_slam_tpu.frames.pyramid import FramePyramid
-from lsd_slam_tpu.ops.interp import bilinear_packed
-from lsd_slam_tpu.tracking.reference import TrackingRef
+from lsd_slam_tpu.ops.interp import quad_sample
+from lsd_slam_tpu.tracking.reference import TrackingRef, PointSet
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -54,16 +57,16 @@ class TrackResult:
                                    # (== refPixelWasGood, Frame.h:421-449)
 
 
-def _residual_pass(pose, aff_a, aff_b, ref_img, ref_idepth, ref_ivar,
-                   ref_valid, frame_packed, cam: Camera, cfg: TrackerConfig):
+def _residual_pass(pose, aff_a, aff_b, pts: PointSet, frame_quad,
+                   cam: Camera, cfg: TrackerConfig):
     """One warp + gather + residual sweep (== calcResidualAndBuffers)."""
-    h, w = ref_img.shape
+    h, w = cam.height, cam.width
     rot = lie.quat_to_matrix(pose[0:4])
     t = pose[4:7]
 
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    safe_id = jnp.where(ref_valid, ref_idepth, 1.0)
+    xs = (pts.idx % w).astype(jnp.float32)
+    ys = (pts.idx // w).astype(jnp.float32)
+    safe_id = jnp.where(pts.valid, pts.idp, 1.0)
     z_ref = 1.0 / safe_id
     px = (xs - cam.cx) / cam.fx * z_ref
     py = (ys - cam.cy) / cam.fy * z_ref
@@ -75,12 +78,11 @@ def _residual_pass(pose, aff_a, aff_b, ref_img, ref_idepth, ref_ivar,
     safe_wz = jnp.where(wz == 0, 1e-9, wz)
     u = wx / safe_wz * cam.fx + cam.cx
     v = wy / safe_wz * cam.fy + cam.cy
-    in_img = (u > 1) & (v > 1) & (u < w - 2) & (v < h - 2) & ref_valid
+    in_img = (u > 1) & (v > 1) & (u < w - 2) & (v < h - 2) & pts.valid
 
-    samp = bilinear_packed(frame_packed, u, v)
-    i_new, gxn, gyn = samp[..., 0], samp[..., 1], samp[..., 2]
+    (i_new, gxn, gyn), _, _ = quad_sample(frame_quad, h, w, u, v)
 
-    c1 = aff_a * ref_img + aff_b
+    c1 = aff_a * pts.ival + aff_b
     r = c1 - i_new
 
     m = in_img.astype(jnp.float32)
@@ -114,7 +116,7 @@ def _residual_pass(pose, aff_a, aff_b, ref_img, ref_idepth, ref_ivar,
     buffers = dict(
         px=wx, py=wy, pz=jnp.where(in_img, wz, 1.0),
         dx=cam.fx * gxn, dy=cam.fy * gyn, r=r,
-        d=ref_idepth, var=ref_ivar, mask=in_img,
+        d=pts.idp, var=pts.ivr, mask=in_img,
     )
     stats = dict(
         in_count=in_count, good_count=good_count, bad_count=bad_count,
@@ -166,16 +168,14 @@ def _normal_equations(buffers, weight):
     return A, g
 
 
-def _track_level(pose, aff_a, aff_b, level_data, cam, cfg: TrackerConfig,
+def _track_level(pose, aff_a, aff_b, pts, frame_quad, cam, cfg: TrackerConfig,
                  max_its: int, sigma2: float, use_affine: bool):
     """Full LM minimization on one pyramid level as a lax.while_loop."""
-    ref_img, ref_idepth, ref_ivar, ref_valid, frame_packed = level_data
-    h, w = ref_img.shape
+    h, w = cam.height, cam.width
     min_points = cfg.min_goodperall_pixel_absmin * h * w
 
     def res(pose, a, b):
-        return _residual_pass(pose, a, b, ref_img, ref_idepth, ref_ivar,
-                              ref_valid, frame_packed, cam, cfg)
+        return _residual_pass(pose, a, b, pts, frame_quad, cam, cfg)
 
     buffers, stats = res(pose, aff_a, aff_b)
     diverged0 = stats["in_count"] < min_points
@@ -267,10 +267,8 @@ class SE3Tracker:
 
         for l in range(cfg.max_level, cfg.min_level - 1, -1):
             caml = self.cam.level(l)
-            level_data = (ref.images[l], ref.idepth[l], ref.ivar[l],
-                          ref.valid[l], frame.packed[l])
             pose, aff_a, aff_b, last_err, div_l = _track_level(
-                pose, aff_a, aff_b, level_data, caml, cfg,
+                pose, aff_a, aff_b, ref.pts[l], frame.quad[l], caml, cfg,
                 cfg.max_iterations[l], self.sigma2, self.use_affine)
             diverged = diverged | div_l
 
@@ -278,12 +276,12 @@ class SE3Tracker:
         # trackingWasGood + refPixelWasGood, SE3Tracker.cpp:475-484)
         l = cfg.min_level
         caml = self.cam.level(l)
+        pts = ref.pts[l]
         buffers, stats = _residual_pass(
-            pose, aff_a, aff_b, ref.images[l], ref.idepth[l], ref.ivar[l],
-            ref.valid[l], frame.packed[l], caml, cfg)
+            pose, aff_a, aff_b, pts, frame.quad[l], caml, cfg)
         _, final_err = _weights_pass(pose, buffers, cfg, self.sigma2)
         n_pix = caml.width * caml.height
-        ref_num = jnp.maximum(jnp.sum(ref.valid[l]), 1).astype(jnp.float32)
+        ref_num = jnp.maximum(pts.n_valid, 1.0)
         good = stats["good_count"].astype(jnp.float32)
         bad = stats["bad_count"].astype(jnp.float32)
         tracking_good = (
@@ -292,6 +290,14 @@ class SE3Tracker:
             & (good / jnp.maximum(good + bad, 1.0) > cfg.min_goodpergoodbad_pixel)
         )
         point_usage = stats["usage"] / ref_num
+
+        # scatter the per-point good flags back to the level grid; pixels
+        # not in the point set default to True (the depth mapper only
+        # excludes pixels the tracker actively flagged bad — matching the
+        # reference, where refPixelWasGood covers exactly the point cloud)
+        good_vec = stats["good"] & buffers["mask"]
+        sidx = jnp.where(pts.valid, pts.idx, n_pix)
+        good_flat = jnp.ones((n_pix,), bool).at[sidx].set(good_vec, mode="drop")
 
         pose = jnp.where(diverged, lie.se3_identity(), pose)
         return TrackResult(
@@ -305,7 +311,7 @@ class SE3Tracker:
             bad_count=stats["bad_count"],
             affine_a=aff_a,
             affine_b=aff_b,
-            good_mask=stats["good"] & buffers["mask"],
+            good_mask=good_flat.reshape(caml.height, caml.width),
         )
 
     def track(self, ref: TrackingRef, frame: FramePyramid,

@@ -24,8 +24,8 @@ from flax import struct
 from lsd_slam_tpu import lie
 from lsd_slam_tpu.camera import Camera
 from lsd_slam_tpu.config import TrackerConfig
-from lsd_slam_tpu.ops.interp import bilinear_packed
-from lsd_slam_tpu.tracking.reference import TrackingRef
+from lsd_slam_tpu.ops.interp import quad_sample, quad_nearest
+from lsd_slam_tpu.tracking.reference import TrackingRef, PointSet
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -58,19 +58,21 @@ def _roll_matrix(rot_unscaled):
     return jnp.matmul(lie.quat_to_matrix(q), rot_unscaled, precision=_HI)
 
 
-def _sim3_residual_pass(pose, aff_a, aff_b, ref_img, ref_idepth, ref_ivar,
-                        ref_valid, ref_gx, ref_gy, frame_packed,
-                        frame_depth_packed, cam: Camera,
-                        cfg: TrackerConfig, use_esm: bool):
-    h, w = ref_img.shape
+def _sim3_residual_pass(pose, aff_a, aff_b, pts: PointSet, frame_quad,
+                        cam: Camera, cfg: TrackerConfig, use_esm: bool):
+    """One Sim3 warp + ONE quad row-gather: the (H*W, 20) sim3_quad rows
+    carry [image, gx, gy, idepth, idepth_var] x 4 bilinear taps, so the
+    photometric sample AND the rounded-pixel depth lookup
+    (Sim3Tracker.cpp:527-541) ride the same gather."""
+    h, w = cam.height, cam.width
     s = pose[7]
     rot_unscaled = lie.quat_to_matrix(pose[0:4])
     rot = rot_unscaled * s
     t = pose[4:7]
 
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    safe_id = jnp.where(ref_valid, ref_idepth, 1.0)
+    xs = (pts.idx % w).astype(jnp.float32)
+    ys = (pts.idx // w).astype(jnp.float32)
+    safe_id = jnp.where(pts.valid, pts.idp, 1.0)
     z_ref = 1.0 / safe_id
     px = (xs - cam.cx) / cam.fx * z_ref
     py = (ys - cam.cy) / cam.fy * z_ref
@@ -82,22 +84,21 @@ def _sim3_residual_pass(pose, aff_a, aff_b, ref_img, ref_idepth, ref_ivar,
     safe_wz = jnp.where(wz == 0, 1e-9, wz)
     u = wx / safe_wz * cam.fx + cam.cx
     v = wy / safe_wz * cam.fy + cam.cy
-    in_img = (u > 1) & (v > 1) & (u < w - 2) & (v < h - 2) & ref_valid
+    in_img = (u > 1) & (v > 1) & (u < w - 2) & (v < h - 2) & pts.valid
 
-    samp = bilinear_packed(frame_packed, u, v)
-    i_new, gxn, gyn = samp[..., 0], samp[..., 1], samp[..., 2]
+    (i_new, gxn, gyn, _, _), raw, (fu, fv) = quad_sample(frame_quad, h, w, u, v)
 
     if use_esm:
         rollm = _roll_matrix(rot_unscaled)
-        rgx = rollm[0, 0] * ref_gx + rollm[0, 1] * ref_gy
-        rgy = rollm[1, 0] * ref_gx + rollm[1, 1] * ref_gy
+        rgx = rollm[0, 0] * pts.gx + rollm[0, 1] * pts.gy
+        rgy = rollm[1, 0] * pts.gx + rollm[1, 1] * pts.gy
         dx = cam.fx * 0.5 * (gxn + rgx)
         dy = cam.fy * 0.5 * (gyn + rgy)
     else:
         dx = cam.fx * gxn
         dy = cam.fy * gyn
 
-    c1 = aff_a * ref_img + aff_b
+    c1 = aff_a * pts.ival + aff_b
     rp = c1 - i_new
 
     m = in_img.astype(jnp.float32)
@@ -118,15 +119,10 @@ def _sim3_residual_pass(pose, aff_a, aff_b, ref_img, ref_idepth, ref_ivar,
     aff_a_new = aff_a_inc * aff_a
     aff_b_new = aff_a_inc * aff_b + aff_b_inc
 
-    # depth residual at the rounded target pixel (Sim3Tracker.cpp:527-541);
-    # flat row-gather of the packed [idepth, ivar] pair
-    ui = jnp.clip((u + 0.5).astype(jnp.int32), 0, w - 1)
-    vi = jnp.clip((v + 0.5).astype(jnp.int32), 0, h - 1)
-    dflat = frame_depth_packed.reshape(-1, 2)
-    didx = (vi * w + ui).reshape(-1)
-    dsamp = jnp.take(dflat, didx, axis=0, mode="clip").reshape(h, w, 2)
-    f_id = dsamp[..., 0]
-    f_var = dsamp[..., 1]
+    # depth residual at the rounded target pixel (Sim3Tracker.cpp:527-541):
+    # select the nearest of the four already-gathered quad taps
+    f_id = quad_nearest(raw, 3, 5, fu, fv)
+    f_var = quad_nearest(raw, 4, 5, fu, fv)
     has_depth = in_img & (f_var > 0)
     rd = jnp.where(has_depth, 1.0 / safe_wz - f_id, 0.0)
 
@@ -134,7 +130,7 @@ def _sim3_residual_pass(pose, aff_a, aff_b, ref_img, ref_idepth, ref_ivar,
 
     buffers = dict(px=wx, py=wy, pz=jnp.where(in_img, wz, 1.0),
                    dx=dx, dy=dy, rp=rp, rd=rd,
-                   d=ref_idepth, var=ref_ivar, fvar=f_var,
+                   d=pts.idp, var=pts.ivr, fvar=f_var,
                    mask=in_img, has_depth=has_depth)
     stats = dict(in_count=jnp.sum(m), usage=usage,
                  aff_a_new=aff_a_new, aff_b_new=aff_b_new)
@@ -243,9 +239,8 @@ class Sim3Tracker:
 
             def res_pass(p, a, b, l=l, caml=caml):
                 return _sim3_residual_pass(
-                    p, a, b, ref.images[l], ref.idepth[l], ref.ivar[l],
-                    ref.valid[l], ref.gx[l], ref.gy[l], frame.packed[l],
-                    frame.depth_packed[l], caml, cfg, cfg.use_esm_sim3)
+                    p, a, b, ref.pts[l], frame.sim3_quad[l], caml, cfg,
+                    cfg.use_esm_sim3)
 
             buffers, stats = res_pass(pose, aff_a, aff_b)
             div0 = stats["in_count"] < min_pts
@@ -324,14 +319,13 @@ class Sim3Tracker:
         l = final_level
         caml = self.cam.level(l)
         buffers, stats = _sim3_residual_pass(
-            pose, aff_a, aff_b, ref.images[l], ref.idepth[l], ref.ivar[l],
-            ref.valid[l], ref.gx[l], ref.gy[l], frame.packed[l],
-            frame.depth_packed[l], caml, cfg, cfg.use_esm_sim3)
+            pose, aff_a, aff_b, ref.pts[l], frame.sim3_quad[l], caml, cfg,
+            cfg.use_esm_sim3)
         wp, wd, mean, mean_d, mean_p = _sim3_weights(pose, buffers, cfg,
                                                      self.sigma2)
         A, _, _ = _sim3_normal_equations(buffers, wp, wd)
         A = 0.5 * (A + A.T)  # exact symmetry despite f32 reduction order
-        ref_valid_count = jnp.maximum(jnp.sum(ref.valid[l]), 1).astype(jnp.float32)
+        ref_valid_count = jnp.maximum(ref.pts[l].n_valid, 1.0)
 
         diverged = diverged | (pose[7] <= 0)
         pose = jnp.where(diverged, lie.sim3_identity(), pose)

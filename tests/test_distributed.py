@@ -74,6 +74,8 @@ def test_distributed_step_reduces_chi2():
 
 def test_sharded_quick_track_matches_batch():
     from lsd_slam_tpu.tracking.quick_tracker import QuickTracker
+    from lsd_slam_tpu.tracking.reference import PointSet, compact_points
+    from lsd_slam_tpu.ops.interp import quad_pack
     from lsd_slam_tpu.camera import Camera
 
     rng = np.random.default_rng(2)
@@ -87,19 +89,29 @@ def test_sharded_quick_track_matches_batch():
     imgs = rng.uniform(0, 255, (n_kf, h4, w4)).astype(np.float32)
     idepth = np.full((n_kf, h4, w4), 0.5, np.float32)
     ivar = np.full((n_kf, h4, w4), 0.01, np.float32)
-    valid = np.ones((n_kf, h4, w4), bool)
-    frame_packed = jnp.asarray(np.stack(
-        [imgs[0], np.zeros_like(imgs[0]), np.zeros_like(imgs[0]),
-         np.zeros_like(imgs[0])], axis=-1))
+    frame_quad = quad_pack((jnp.asarray(imgs[0]),
+                            jnp.zeros((h4, w4), jnp.float32),
+                            jnp.zeros((h4, w4), jnp.float32)))
     inits = np.tile(np.array([1, 0, 0, 0, 0, 0, 0], np.float32), (n_kf, 1))
 
-    refs = (jnp.asarray(imgs), jnp.asarray(idepth), jnp.asarray(ivar),
-            jnp.asarray(valid))
-    batch = qt._trackN(refs, frame_packed, jnp.asarray(inits))
+    def pointset(k):
+        zeros = np.zeros_like(imgs[k])
+        fields = jnp.asarray(np.stack(
+            [imgs[k], zeros, zeros, idepth[k], ivar[k]], axis=-1
+        ).reshape(-1, 5))
+        valid = jnp.ones((h4, w4), bool)
+        idx, vals, slot_valid, n_valid = compact_points(valid, fields, h4 * w4)
+        return PointSet(idx=idx, ival=vals[:, 0], gx=vals[:, 1],
+                        gy=vals[:, 2], idp=vals[:, 3], ivr=vals[:, 4],
+                        valid=slot_valid, n_valid=n_valid)
+
+    refs = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[pointset(k) for k in range(n_kf)])
+    batch = qt._trackN(refs, frame_quad, jnp.asarray(inits))
 
     mesh = make_mesh(8)
     fn = sharded_quick_track(mesh, qt)
-    out = fn(refs, frame_packed, jnp.asarray(inits))
+    out = fn(refs, frame_quad, jnp.asarray(inits))
     np.testing.assert_allclose(np.asarray(batch.ref_to_frame),
                                np.asarray(out[0]), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(batch.tracking_good),

@@ -112,15 +112,18 @@ def test_single_pass_matches_numpy(pair):
     pose = np.asarray(lie.se3_exp(jnp.asarray(
         [0.01, -0.005, 0.008, 0.002, -0.004, 0.001], jnp.float32)))
 
+    pyr_a = build_frame(jnp.asarray(img_a), levels=1)
     pyr_b = build_frame(jnp.asarray(img_b), levels=1)
+    dpyr = build_depth_pyramid(jnp.asarray(idepth), jnp.asarray(ivar),
+                               levels=1)
     cfg = TrackerConfig()
-    valid = np.zeros_like(idepth, dtype=bool)
-    valid[1:-1, 1:-1] = True
+    # full-grid budget: the compaction is the identity, so the pass covers
+    # exactly the pixels the NumPy golden loop covers
+    ref = make_tracking_ref(pyr_a, dpyr, budget_frac=(1.0,))
 
     buffers, stats = _residual_pass(
         jnp.asarray(pose), jnp.float32(1.0), jnp.float32(0.0),
-        jnp.asarray(img_a), jnp.asarray(idepth), jnp.asarray(ivar),
-        jnp.asarray(valid), pyr_b.packed[0], cam, cfg)
+        ref.pts[0], pyr_b.quad[0], cam, cfg)
     weight, error = _weights_pass(jnp.asarray(pose), buffers, cfg, 16.0)
     A, g = _normal_equations(buffers, weight)
 
