@@ -15,7 +15,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.8
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, *, mesh, in_specs, out_specs, check_rep=None):
+        kw = {} if check_rep is None else {"check_vma": check_rep}
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, **kw)
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 from lsd_slam_tpu import lie
 
