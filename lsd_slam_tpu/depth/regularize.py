@@ -38,6 +38,38 @@ def _shift(a, dy, dx, fill=0.0):
     return out.at[ys0 - dy:ys1 - dy, xs0 - dx:xs1 - dx].set(a[ys0:ys1, xs0:xs1])
 
 
+def _regularize_accumulators_xla(dest_id, dest_var, dest_valid, validity,
+                                 reg_dist_var: float, diff_fac: float):
+    """25-tap lattice as whole-array shifts (reference path; CPU)."""
+    sum_id = jnp.zeros_like(dest_id)
+    sum_ivar = jnp.zeros_like(dest_id)
+    val_sum = jnp.zeros_like(dest_id)
+    n_occluding = jnp.zeros_like(dest_id)
+    n_not_occluding = jnp.zeros_like(dest_id)
+
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            s_valid = _shift(dest_valid.astype(jnp.float32), dy, dx) > 0
+            s_id = _shift(dest_id, dy, dx)
+            s_var = _shift(dest_var, dy, dx, fill=1.0)
+            s_validity = _shift(validity, dy, dx)
+
+            diff = s_id - dest_id
+            compatible = diff_fac * diff * diff <= s_var + dest_var
+            use = s_valid & compatible
+            n_occluding = n_occluding + (s_valid & ~compatible
+                                         & (s_id > dest_id)).astype(jnp.float32)
+            n_not_occluding = n_not_occluding + use.astype(jnp.float32)
+
+            dist_fac = float(dx * dx + dy * dy) * reg_dist_var
+            ivar = 1.0 / (s_var + dist_fac)
+            m = use.astype(jnp.float32)
+            sum_id = sum_id + s_id * ivar * m
+            sum_ivar = sum_ivar + ivar * m
+            val_sum = val_sum + s_validity * m
+    return sum_id, sum_ivar, val_sum, n_occluding, n_not_occluding
+
+
 def regularize(state: DepthMapState, remove_occlusions: bool,
                validity_th: float, dcfg: DepthFilterConfig,
                smoothing_factor: float = 1.0) -> DepthMapState:
@@ -50,33 +82,19 @@ def regularize(state: DepthMapState, remove_occlusions: bool,
     dest_var = state.var
     dest_valid = state.valid
 
-    sum_id = jnp.zeros_like(dest_id)
-    sum_ivar = jnp.zeros_like(dest_id)
-    val_sum = jnp.zeros_like(dest_id)
-    n_occluding = jnp.zeros_like(dest_id)
-    n_not_occluding = jnp.zeros_like(dest_id)
-
-    for dy in range(-2, 3):
-        for dx in range(-2, 3):
-            s_valid = _shift(dest_valid.astype(jnp.float32), dy, dx) > 0
-            s_id = _shift(dest_id, dy, dx)
-            s_var = _shift(dest_var, dy, dx, fill=1.0)
-            s_validity = _shift(state.validity, dy, dx)
-
-            diff = s_id - dest_id
-            compatible = (dcfg.diff_fac_smoothing * diff * diff
-                          <= s_var + dest_var)
-            use = s_valid & compatible
-            n_occluding = n_occluding + (s_valid & ~compatible
-                                         & (s_id > dest_id)).astype(jnp.float32)
-            n_not_occluding = n_not_occluding + use.astype(jnp.float32)
-
-            dist_fac = float(dx * dx + dy * dy) * reg_dist_var
-            ivar = 1.0 / (s_var + dist_fac)
-            m = use.astype(jnp.float32)
-            sum_id = sum_id + s_id * ivar * m
-            sum_ivar = sum_ivar + ivar * m
-            val_sum = val_sum + s_validity * m
+    from lsd_slam_tpu.ops.pallas_stencil import (
+        pallas_regularize_enabled, regularize_accumulators)
+    if pallas_regularize_enabled():
+        (sum_id, sum_ivar, val_sum, n_occluding,
+         n_not_occluding) = regularize_accumulators(
+            dest_id, dest_var, dest_valid.astype(jnp.float32),
+            state.validity, float(reg_dist_var),
+            float(dcfg.diff_fac_smoothing))
+    else:
+        (sum_id, sum_ivar, val_sum, n_occluding,
+         n_not_occluding) = _regularize_accumulators_xla(
+            dest_id, dest_var, dest_valid, state.validity,
+            float(reg_dist_var), float(dcfg.diff_fac_smoothing))
 
     interior = jnp.zeros((h, w), bool).at[2:-2, 2:-2].set(True)
     touched = dest_valid & interior
