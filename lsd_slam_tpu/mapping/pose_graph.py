@@ -72,7 +72,15 @@ def _apply_update(poses, delta):
 
 
 class PoseGraph:
-    """Host-facing graph container with device optimization."""
+    """Host-facing graph container with device optimization.
+
+    Below `dense_threshold` vertices the (7N, 7N) system is materialized
+    and solved directly (f64 host solve for conditioning); above it the
+    matrix-free block-Jacobi PCG path (mapping/sparse_pgo.py) takes over —
+    O(E) memory, whole solve on device.
+    """
+
+    dense_threshold = 320
 
     def __init__(self):
         self.poses: List[np.ndarray] = []       # camToWorld Sim3 (8,) f64
@@ -121,6 +129,9 @@ class PoseGraph:
         n = self.n_vertices
         if n < 2 or self.n_edges == 0:
             return 0.0
+        if n > self.dense_threshold:
+            from lsd_slam_tpu.mapping.sparse_pgo import optimize_sparse
+            return optimize_sparse(self, num_iterations)
 
         poses = np.stack(self.poses).astype(np.float32)
         efrom = jnp.asarray(np.asarray(self.e_from, np.int32))

@@ -16,4 +16,5 @@ from lsd_slam_tpu.parallel.distributed import (  # noqa: F401
     distributed_pgo_normal_equations,
     sharded_quick_track,
     distributed_pgo_step,
+    distributed_pgo_cg_step,
 )

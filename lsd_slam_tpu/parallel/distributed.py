@@ -120,6 +120,92 @@ def distributed_pgo_step(mesh: Mesh, n_vertices: int):
     return step
 
 
+def distributed_pgo_cg_step(mesh: Mesh, n_vertices: int,
+                            max_cg_iters: int = 250):
+    """One damped-GN step solved matrix-free by block-Jacobi PCG with the
+    edge set sharded over the mesh — the large-graph companion of
+    distributed_pgo_step (which materializes the dense (7N,7N) system).
+
+    Each chip holds an edge slice; every CG matvec is a local
+    gather/block-product/scatter over that slice followed by ONE psum of
+    the (N, 7) vector — the collective rides ICI and costs O(N), not
+    O(N^2). The CG state (x, r, p) stays replicated. See
+    mapping/sparse_pgo.py for the single-chip math this distributes.
+    """
+
+    def local_step(poses, fixed_mask, efrom, eto, meas_inv, info,
+                   huber_delta, lam):
+        blocks, AtWr, chi2 = _edge_blocks(poses, efrom, eto, meas_inv, info,
+                                          huber_delta)
+        keep = (~fixed_mask).astype(jnp.float32)[:, None]
+
+        g = jnp.zeros((n_vertices, 7), jnp.float32)
+        g = g.at[efrom].add(-AtWr)
+        g = g.at[eto].add(AtWr)
+        g = jax.lax.psum(g, AXIS)
+        b = -g * keep
+        chi2_sum = jax.lax.psum(jnp.sum(chi2), AXIS)
+
+        D = jnp.zeros((n_vertices, 7, 7), jnp.float32)
+        D = D.at[efrom].add(blocks)
+        D = D.at[eto].add(blocks)
+        D = jax.lax.psum(D, AXIS)
+        dii = jnp.abs(jnp.diagonal(D, axis1=1, axis2=2))
+        damp = lam * (dii + 1.0)
+        D = D + jax.vmap(jnp.diag)(damp)
+        eye = jnp.broadcast_to(jnp.eye(7, dtype=jnp.float32), D.shape)
+        D = jnp.where(fixed_mask[:, None, None], eye, D)
+        Dinv = jnp.linalg.inv(D + 1e-9 * eye)
+
+        def matvec(v):
+            v = v * keep
+            dv = v[efrom] - v[eto]
+            t = jnp.einsum("eij,ej->ei", blocks, dv, precision=_HI)
+            hv = jnp.zeros_like(v)
+            hv = hv.at[efrom].add(t)
+            hv = hv.at[eto].add(-t)
+            hv = jax.lax.psum(hv, AXIS)        # the ICI reduction per matvec
+            return (hv + damp * v) * keep
+
+        def precond(r):
+            return jnp.einsum("nij,nj->ni", Dinv, r, precision=_HI) * keep
+
+        x0 = jnp.zeros_like(b)
+        z0 = precond(b)
+        rz0 = jnp.sum(b * z0)
+        bnorm = jnp.sqrt(jnp.sum(b * b)) + 1e-30
+
+        def cond(s):
+            x, r, z, p, rz, it = s
+            return ((it < max_cg_iters)
+                    & (jnp.sqrt(jnp.sum(r * r)) / bnorm > 1e-7))
+
+        def body(s):
+            x, r, z, p, rz, it = s
+            hp = matvec(p)
+            alpha = rz / jnp.maximum(jnp.sum(p * hp), 1e-30)
+            x = x + alpha * p
+            r = r - alpha * hp
+            z = precond(r)
+            rz_new = jnp.sum(r * z)
+            p = z + rz_new / jnp.maximum(rz, 1e-30) * p
+            return (x, r, z, p, rz_new, it + 1)
+
+        delta, _, _, _, _, _ = jax.lax.while_loop(
+            cond, body, (x0, b, z0, z0, rz0, jnp.int32(0)))
+        new_poses = lie.sim3_mul(lie.sim3_exp(delta), poses)
+        return new_poses, chi2_sum
+
+    fn = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                  P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
 # ---------------------------------------------------------------------------
 # sharded batched coarse tracking (candidate scoring / relocalization)
 # ---------------------------------------------------------------------------

@@ -116,3 +116,35 @@ def test_sharded_quick_track_matches_batch():
                                np.asarray(out[0]), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(batch.tracking_good),
                                   np.asarray(out[1]))
+
+
+def test_distributed_cg_step_matches_dense_step():
+    """The edge-sharded PCG step must agree with the dense distributed
+    step (same damped-GN system, different solver) and reduce chi2."""
+    from lsd_slam_tpu.parallel import distributed_pgo_cg_step
+
+    rng = np.random.default_rng(4)
+    n_v, n_e = 12, 32
+    poses, efrom, eto, meas_inv, info, deltas = _random_graph(rng, n_v, n_e)
+    fixed = np.zeros(n_v, bool)
+    fixed[0] = True
+    mesh = make_mesh(8)
+    dense_step = distributed_pgo_step(mesh, n_v)
+    cg_step = distributed_pgo_cg_step(mesh, n_v, max_cg_iters=400)
+
+    args = (jnp.asarray(fixed), jnp.asarray(efrom), jnp.asarray(eto),
+            jnp.asarray(meas_inv), jnp.asarray(info), jnp.asarray(deltas),
+            jnp.float32(1e-6))
+    p_dense, chi_d = dense_step(jnp.asarray(poses), *args)
+    p_cg, chi_c = cg_step(jnp.asarray(poses), *args)
+    np.testing.assert_allclose(float(chi_d), float(chi_c), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_dense), np.asarray(p_cg),
+                               atol=5e-4)
+
+    # iterate the CG step: chi2 must fall
+    p = jnp.asarray(poses)
+    chis = []
+    for _ in range(6):
+        p, chi = cg_step(p, *args)
+        chis.append(float(chi))
+    assert chis[-1] < 0.5 * chis[0], chis

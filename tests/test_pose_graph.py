@@ -126,3 +126,75 @@ def test_pgo_huber_downweights_outlier_edge():
     drift_plain = run(delta=1e6)
     assert drift_robust < 0.25 * drift_plain, (drift_robust, drift_plain)
     assert drift_plain > 0.4  # sanity: the outlier really does damage
+
+
+def test_sparse_pcg_matches_dense():
+    """The matrix-free PCG path must land on the same optimum as the dense
+    solve (same graph, same damping policy)."""
+    from lsd_slam_tpu.mapping.sparse_pgo import optimize_sparse
+
+    def build():
+        rng = np.random.default_rng(3)
+        gt = make_circle_poses(12)
+        g = PoseGraph()
+        from lsd_slam_tpu import lie
+        import jax.numpy as jnp
+        for i, p in enumerate(gt):
+            if i == 0:
+                g.add_vertex(p, fixed=True)
+            else:
+                noise = np.concatenate([rng.normal(0, 0.02, 6), [0.0]])
+                pert = np.asarray(
+                    lie.sim3_exp(jnp.asarray(noise, jnp.float32)), np.float64)
+                g.add_vertex(nps.sim3_mul(pert, p))
+        info = np.eye(7) * 100
+        for i in range(11):
+            g.add_edge(i, i + 1, relative(gt[i], gt[i + 1]), info, 1e6)
+        g.add_edge(0, 11, relative(gt[0], gt[11]), info, 1e6)
+        g.add_edge(2, 9, relative(gt[2], gt[9]), info, 1e6)
+        return g, gt
+
+    g_dense, gt = build()
+    g_sparse, _ = build()
+    g_dense.optimize(20)
+    optimize_sparse(g_sparse, 20)
+    for i in range(12):
+        d = nps.sim3_log_norm(
+            nps.sim3_mul(nps.sim3_inverse(g_sparse.poses[i]),
+                         g_dense.poses[i]))
+        assert d < 2e-3, (i, d)
+        d_gt = nps.sim3_log_norm(
+            nps.sim3_mul(nps.sim3_inverse(g_sparse.poses[i]), gt[i]))
+        assert d_gt < 5e-3, (i, d_gt)
+
+
+def test_large_graph_routes_to_sparse_and_converges():
+    """Above dense_threshold, PoseGraph.optimize must switch to PCG and
+    still close a long noisy loop (the >300-keyframe regime the dense
+    solver would thrash on)."""
+    rng = np.random.default_rng(7)
+    n = 340
+    assert n > PoseGraph.dense_threshold
+    gt = make_circle_poses(n)
+    from lsd_slam_tpu import lie
+    import jax.numpy as jnp
+    g = PoseGraph()
+    for i, p in enumerate(gt):
+        if i == 0:
+            g.add_vertex(p, fixed=True)
+        else:
+            noise = np.concatenate([rng.normal(0, 0.01, 6), [0.0]])
+            pert = np.asarray(
+                lie.sim3_exp(jnp.asarray(noise, jnp.float32)), np.float64)
+            g.add_vertex(nps.sim3_mul(pert, p))
+    info = np.eye(7) * 100
+    for i in range(n - 1):
+        g.add_edge(i, i + 1, relative(gt[i], gt[i + 1]), info, 1e6)
+    g.add_edge(0, n - 1, relative(gt[0], gt[n - 1]), info, 1e6)
+    for a in range(0, n - 20, 17):  # sprinkle mid-loop closures
+        g.add_edge(a, a + 11, relative(gt[a], gt[a + 11]), info, 1e6)
+    g.optimize(12)
+    errs = [nps.sim3_log_norm(
+        nps.sim3_mul(nps.sim3_inverse(g.poses[i]), gt[i]))
+        for i in range(n)]
+    assert max(errs) < 8e-3, max(errs)
