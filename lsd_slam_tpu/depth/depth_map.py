@@ -35,6 +35,16 @@ class DepthMap:
         self.cam = cam
         self.cfg = cfg
         dcfg, mcfg = cfg.depth, cfg.mapping
+        # tracker good-mask arrives at the tracker's min level and is
+        # upsampled on device ((x >> lvl) indexing, DepthMap.cpp:322-329) —
+        # it never round-trips through the host
+        mask_f = 1 << cfg.tracker.min_level
+
+        def _upsample_mask(small):
+            if small.shape == (cfg.height, cfg.width):
+                return small
+            return jnp.repeat(jnp.repeat(small, mask_f, axis=0),
+                              mask_f, axis=1)
 
         def _export_arrays(state):
             # Frame::setDepth (Frame.cpp:199-243): export smoothed values
@@ -52,8 +62,8 @@ class DepthMap:
                      skip_inc):
             state, stats = observe_mod.observe(
                 state, kf_img, kf_gx, kf_gy, kf_max_grad, ref_img, ref_to_kf,
-                ref_id, good_mask, tracking_residual, skip_inc,
-                cam, dcfg, mcfg)
+                ref_id, _upsample_mask(good_mask), tracking_residual,
+                skip_inc, cam, dcfg, mcfg)
             # post-observe sequence (updateKeyframe, DepthMap.cpp:1129-1153):
             # fill holes then regularize(keep), then the depth export fused
             # into the same program (one dispatch per mapping iteration)
@@ -68,8 +78,8 @@ class DepthMap:
                        good_mask, have_good_mask):
             # createKeyFrame sequence (DepthMap.cpp:1222-1306)
             state = reg_mod.propagate(state, old_to_new, kf_img, new_img,
-                                      new_max_grad, good_mask, have_good_mask,
-                                      cam, dcfg, mcfg)
+                                      new_max_grad, _upsample_mask(good_mask),
+                                      have_good_mask, cam, dcfg, mcfg)
             state = reg_mod.regularize(state, True, dcfg.val_sum_min_for_keep,
                                        dcfg, mcfg.depth_smoothing_factor)
             state = reg_mod.fill_holes(state, new_max_grad, dcfg,
@@ -204,9 +214,14 @@ class DepthMap:
         self.num_mapped_on_this = 0
 
     def update_keyframe(self, kf_pyr, ref_img, ref_to_kf, ref_id: float,
-                        good_mask, tracking_residual: float):
+                        good_mask, tracking_residual):
         """One observe sweep with one tracked frame (sequential-mode
-        updateKeyframe; DepthMap.cpp:1072-1213)."""
+        updateKeyframe; DepthMap.cpp:1072-1213).
+
+        ref_to_kf / good_mask / tracking_residual may be device values —
+        the sweep dispatches without any host synchronization (the caller
+        reads the returned stats dict whenever it syncs). Returns the stats
+        dict of device scalars."""
         # adaptive skip increment (DepthMap.cpp:449-452)
         skip_inc = max(
             3.0, self.num_frames_tracked_on_this
@@ -215,10 +230,21 @@ class DepthMap:
             self.state, kf_pyr.images[0], kf_pyr.gx[0], kf_pyr.gy[0],
             kf_pyr.max_grad[0], jnp.asarray(ref_img), jnp.asarray(ref_to_kf),
             jnp.float32(ref_id), jnp.asarray(good_mask),
-            jnp.float32(tracking_residual), jnp.float32(skip_inc))
+            jnp.asarray(tracking_residual, jnp.float32),
+            jnp.float32(skip_inc))
         self._fresh_export = export
         self.num_mapped_on_this += 1
         return stats
+
+    def snapshot(self):
+        """Cheap functional snapshot for speculative mapping dispatch —
+        state is immutable arrays, so this is just the references."""
+        return (self.state, self._fresh_export, self.num_mapped_on_this,
+                self.num_frames_tracked_on_this)
+
+    def restore(self, snap):
+        (self.state, self._fresh_export, self.num_mapped_on_this,
+         self.num_frames_tracked_on_this) = snap
 
     def create_keyframe(self, old_to_new, old_kf_img, new_pyr, good_mask,
                         have_good_mask: bool):
@@ -236,6 +262,13 @@ class DepthMap:
     def finalize_keyframe(self, kf_max_grad):
         self._fresh_export = None
         self.state = self._finalize(self.state, jnp.asarray(kf_max_grad))
+
+    def fresh_export_device(self) -> Optional[tuple]:
+        """Consume the device-side (idepth0, ivar0, mean, num) export fused
+        into the last observe, without any host sync."""
+        e = self._fresh_export
+        self._fresh_export = None
+        return e
 
     def export_depth(self) -> Tuple[jnp.ndarray, jnp.ndarray, float, int]:
         """(idepth0, ivar0, mean_idepth, num_points) for Frame::setDepth.

@@ -27,13 +27,18 @@ from lsd_slam_tpu.config import LSDConfig
 from lsd_slam_tpu.frames import build_frame
 from lsd_slam_tpu.depth import DepthMap
 from lsd_slam_tpu.tracking import SE3Tracker
+from lsd_slam_tpu.tracking.se3_tracker import HOST_PACK as HP
 from lsd_slam_tpu.system.poses import PoseNode, PoseRegistry
 from lsd_slam_tpu.system.keyframe import Keyframe, KeyframeMemory
 from lsd_slam_tpu.utils.stats import RunningStats, StageTimers
 
 
 class TrackedFrame:
-    """Lightweight record of a tracked (non-key)frame."""
+    """Lightweight record of a tracked (non-key)frame.
+
+    good_mask is the tracker's min-level DEVICE bool grid (refPixelWasGood,
+    Frame.h:421-449); it never visits the host — the depth mapper upsamples
+    it on device ((x >> lvl) indexing, DepthMap.cpp:322-329)."""
 
     __slots__ = ("id", "timestamp", "pose", "pyr", "good_mask",
                  "initial_tracked_residual", "point_usage", "parent_kf_id")
@@ -99,8 +104,6 @@ class SlamSystem:
         else:
             self.backend = None
 
-        self._mask_shift = cfg.tracker.min_level
-
         # async pipeline (reference's mapping thread); sequential mode runs
         # mapping inline for determinism (hz=0 semantics)
         self.mapping_thread = None
@@ -111,13 +114,6 @@ class SlamSystem:
             self.mapping_thread.start()
 
     # ------------------------------------------------------------- helpers
-
-    def _upsample_mask(self, mask) -> np.ndarray:
-        """Tracker good-mask lives at min_level; mapping reads it full-res
-        via (x >> lvl) indexing (DepthMap.cpp:322-329)."""
-        m = np.asarray(mask)
-        f = 1 << self._mask_shift
-        return np.repeat(np.repeat(m, f, axis=0), f, axis=1)
 
     def _new_pose_node(self, frame_id: int) -> PoseNode:
         node = PoseNode(frame_id, self.registry)
@@ -197,60 +193,107 @@ class SlamSystem:
         with self.timers.time("track"):
             res = self.tracker.track(kf.tracking_ref, pyr,
                                      jnp.asarray(init_f2r, jnp.float32))
-            diverged_now = bool(res.diverged)
 
-        diverged = diverged_now
-        tracking_good = bool(res.tracking_good)
+        # --- speculative mapping dispatch (sequential mode) ---
+        # The observe sweep's only data dependency on the track is the
+        # DEVICE-side relative pose, so in the common case (update current
+        # keyframe, no switch) it is enqueued before the host ever syncs;
+        # the whole frame then costs ONE device->host transfer (the packed
+        # scalar vector). Tracking loss is rare — if the pulled scalars
+        # say lost, the functional depth state simply rolls back.
+        spec_snap = None
+        spec_stats = None
+        speculate = (self.cfg.system.sequential and not my_create_flag
+                     and self.map.is_valid())
+        if speculate:
+            if self.backend is not None:
+                self.backend.merge_optimization_offset()
+            spec_snap = self.map.snapshot()
+            kf.num_frames_tracked_on_this += 1
+            self.map.num_frames_tracked_on_this = \
+                kf.num_frames_tracked_on_this
+            with self.timers.time("map_observe"):
+                spec_stats = self.map.update_keyframe(
+                    kf.pyr, pyr.images[0], res.frame_to_ref, float(frame_id),
+                    res.good_mask, res.initial_residual)
+            export_dev = self.map.fresh_export_device()
+            skeys = sorted(spec_stats)
+            pack = jnp.concatenate([
+                res.host_pack,
+                jnp.stack([jnp.asarray(spec_stats[k], jnp.float32)
+                           for k in skeys]
+                          + [jnp.asarray(export_dev[2], jnp.float32),
+                             jnp.asarray(export_dev[3], jnp.float32)])])
+        else:
+            pack = res.host_pack
+
+        host = np.asarray(pack, np.float64)  # THE per-frame host sync
+        diverged = bool(host[HP["diverged"]])
+        tracking_good = bool(host[HP["tracking_good"]])
+        point_usage = float(host[HP["point_usage"]])
+
         self.stats.bump("frames_tracked")
-        self.tracking_last_residual = float(res.last_residual)
-        self.tracking_last_usage = float(res.point_usage)
+        self.tracking_last_residual = float(host[HP["last_residual"]])
+        self.tracking_last_usage = point_usage
 
         lost = (self.manual_tracking_loss or diverged
                 or (len(self.keyframes)
                     > self.cfg.keyframe.initialization_phase_count
                     and not tracking_good))
         if lost:
+            if spec_snap is not None:
+                # roll back the speculative observe (functional state)
+                self.map.restore(spec_snap)
+                kf.num_frames_tracked_on_this -= 1
             self.tracking_is_good = False
             self.create_new_keyframe = False
             self.manual_tracking_loss = False
             return None
 
         # pose bookkeeping
-        frame_to_ref = np.asarray(res.frame_to_ref, np.float64)
+        frame_to_ref = host[HP["frame_to_ref"]]
         node = self._new_pose_node(frame_id)
         node.this_to_parent = nps.sim3_from_se3(frame_to_ref, 1.0)
         node.parent = kf.pose
         self.registry.invalidate_all()
         self._log_pose(timestamp, frame_id, node)
 
-        kf.num_frames_tracked_on_this += 1
-        self.map.num_frames_tracked_on_this = kf.num_frames_tracked_on_this
+        if not speculate:
+            kf.num_frames_tracked_on_this += 1
+            self.map.num_frames_tracked_on_this = \
+                kf.num_frames_tracked_on_this
 
         tracked = TrackedFrame(
-            frame_id, timestamp, node, pyr,
-            self._upsample_mask(res.good_mask),
-            float(res.last_residual) / max(float(res.point_usage), 1e-6),
-            float(res.point_usage), kf.id)
+            frame_id, timestamp, node, pyr, res.good_mask,
+            float(host[HP["initial_residual"]]), point_usage, kf.id)
         self.latest_tracked = tracked
 
         # keyframe selection (SlamSystem.cpp:997-1020)
         if (not my_create_flag
                 and kf.num_mapped_on_this_total
                 > self.cfg.keyframe.min_num_mapped):
-            ref_to_frame = np.asarray(res.ref_to_frame, np.float64)
+            ref_to_frame = host[HP["ref_to_frame"]]
             dist = ref_to_frame[4:7] * kf.mean_idepth
             n_kf = len(self.keyframes)
             min_val = min(0.2 + n_kf * 0.8
                           / self.cfg.keyframe.initialization_phase_count, 1.0)
             if n_kf < self.cfg.keyframe.initialization_phase_count:
                 min_val *= 0.7
-            score = self._ref_frame_score(float(dist @ dist),
-                                          float(res.point_usage))
+            score = self._ref_frame_score(float(dist @ dist), point_usage)
             self.last_tracking_closeness_score = score
             if score > min_val:
                 self.create_new_keyframe = True
 
-        if self.cfg.system.sequential:
+        if speculate:
+            # commit the speculative observe
+            n_stats = len(skeys)
+            svals = host[len(res.host_pack):len(res.host_pack) + n_stats]
+            self.stats.add("observe", dict(zip(skeys, svals)))
+            kf.num_mapped_on_this += 1
+            kf.num_mapped_on_this_total += 1
+            kf.set_depth(export_dev[0], export_dev[1], float(host[-2]),
+                         int(host[-1]), self.cfg.system.pyramid_levels)
+        elif self.cfg.system.sequential:
             self.do_mapping_iteration()
         else:
             self.mapping_thread.push(tracked)
@@ -294,7 +337,10 @@ class SlamSystem:
                 jnp.asarray(ref_to_kf, jnp.float32), float(tracked.id),
                 jnp.asarray(tracked.good_mask),
                 tracked.initial_tracked_residual)
-        self.stats.add("observe", {k: float(v) for k, v in obs_stats.items()})
+        skeys = sorted(obs_stats)
+        svals = np.asarray(jnp.stack(  # one pull for all counters
+            [jnp.asarray(obs_stats[k], jnp.float32) for k in skeys]))
+        self.stats.add("observe", dict(zip(skeys, svals)))
         kf.num_mapped_on_this += 1
         kf.num_mapped_on_this_total += 1
         self._export_depth_to(kf)

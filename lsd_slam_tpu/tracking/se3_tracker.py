@@ -55,6 +55,19 @@ class TrackResult:
     affine_b: jnp.ndarray
     good_mask: jnp.ndarray         # (H_min, W_min) bool, ref-pixel isGood
                                    # (== refPixelWasGood, Frame.h:421-449)
+    initial_residual: jnp.ndarray  # last_residual / point_usage — the
+                                   # depth mapper's trust prior
+                                   # (SlamSystem.cpp:571 result->...)
+    host_pack: jnp.ndarray         # (23,) every scalar the host loop reads,
+                                   # packed so one frame costs ONE
+                                   # device->host transfer (see HOST_PACK)
+
+
+# host_pack layout (index -> field)
+HOST_PACK = dict(ref_to_frame=slice(0, 7), frame_to_ref=slice(7, 14),
+                 diverged=14, tracking_good=15, last_residual=16,
+                 point_usage=17, good_count=18, bad_count=19,
+                 affine_a=20, affine_b=21, initial_residual=22)
 
 
 def _residual_pass(pose, aff_a, aff_b, pts: PointSet, frame_quad,
@@ -300,9 +313,17 @@ class SE3Tracker:
         good_flat = jnp.ones((n_pix,), bool).at[sidx].set(good_vec, mode="drop")
 
         pose = jnp.where(diverged, lie.se3_identity(), pose)
+        inv_pose = lie.se3_inverse(pose)
+        initial_residual = final_err / jnp.maximum(point_usage, 1e-6)
+        host_pack = jnp.concatenate([
+            pose, inv_pose,
+            jnp.stack([diverged.astype(jnp.float32),
+                       tracking_good.astype(jnp.float32),
+                       final_err, point_usage, good, bad,
+                       aff_a, aff_b, initial_residual])])
         return TrackResult(
             ref_to_frame=pose,
-            frame_to_ref=lie.se3_inverse(pose),
+            frame_to_ref=inv_pose,
             diverged=diverged,
             tracking_good=tracking_good,
             last_residual=final_err,
@@ -312,6 +333,8 @@ class SE3Tracker:
             affine_a=aff_a,
             affine_b=aff_b,
             good_mask=good_flat.reshape(caml.height, caml.width),
+            initial_residual=initial_residual,
+            host_pack=host_pack,
         )
 
     def track(self, ref: TrackingRef, frame: FramePyramid,
