@@ -176,6 +176,9 @@ class SystemConfig:
     sequential: bool = True
     # pose-graph optimizer slice size (SlamSystem.cpp:377: 5-iteration slices)
     pgo_iterations_per_slice: int = 5
+    # cap on synchronous PGO slices per new-keyframe update (the reference
+    # runs slices on a dedicated thread; inline callers must bound the stall)
+    pgo_max_slices_per_update: int = 3
     pgo_final_iterations: int = 50
     pgo_min_change: float = 0.02
     pgo_final_min_change: float = 0.001

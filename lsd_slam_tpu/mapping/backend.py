@@ -45,8 +45,11 @@ class MappingBackend:
         graph.add_keyframe(kf)
         n_added = graph.find_constraints_for_new_keyframe(
             kf, force_parent=True)
-        if n_added > 0 or True:
-            changed = graph.optimize_slices()
+        # the reference optimizes only when constraints arrived
+        # (newConstraintAdded handshake, SlamSystem.cpp:359-381)
+        if n_added > 0:
+            changed = graph.optimize_slices(
+                max_slices=self.system.cfg.system.pgo_max_slices_per_update)
             if changed:
                 self._have_unmerged = True
 

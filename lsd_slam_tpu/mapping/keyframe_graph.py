@@ -64,6 +64,10 @@ class KeyFrameGraph:
         self.edges: List[Constraint] = []
         self.last_constraint_tracked_c2w: Dict[int, np.ndarray] = {}
         self._rng = random.Random(0)
+        # batched keyframe pose cache for candidate search, keyed on
+        # (n_keyframes, pose epoch) — rebuilt after merges/inserts only
+        self._pose_cache_key = None
+        self._pose_cache = None
         # optional appearance retrieval (== useFabMap, settings.cpp:92)
         self.appearance = (AppearanceIndex()
                            if cfg.system.use_fabmap else None)
@@ -123,35 +127,62 @@ class KeyFrameGraph:
 
     # ------------------------------------------------------------ search
 
+    def _kf_pose_matrix(self):
+        """(N,8) camToWorld matrix + derived position/view-axis/dist-factor
+        arrays over all keyframes, cached on the pose epoch (rebuilt only
+        after graph merges / new keyframes). This is the vectorized analog
+        of the reference's per-KF loop (TrackableKeyFrameSearch.cpp:56-98):
+        at ~1000 keyframes one batched numpy pass replaces O(N) interpreter
+        iterations per query."""
+        sys = self.system
+        key = (len(sys.keyframes), sys.registry.epoch)
+        if self._pose_cache_key != key:
+            kfs = sys.keyframes
+            if kfs:
+                c2w = np.stack([kf.pose.cam_to_world() for kf in kfs])
+                mean_id = np.asarray([kf.mean_idepth for kf in kfs])
+            else:
+                c2w = np.zeros((0, 8), np.float64)
+                mean_id = np.zeros((0,), np.float64)
+            z_axis = (nps.quat_to_matrix(c2w[:, 0:4])[:, :, 2]
+                      if len(kfs) else np.zeros((0, 3)))
+            self._pose_cache = (c2w, c2w[:, 4:7], z_axis,
+                                mean_id / np.maximum(c2w[:, 7], 1e-30))
+            self._pose_cache_key = key
+        return self._pose_cache
+
     def find_euclidean_overlap_frames(self, frame_c2w, mean_idepth,
                                       distance_th, angle_th,
                                       check_both_scales=False):
-        """== findEuclideanOverlapFrames (TrackableKeyFrameSearch.cpp:56-98).
-        Returns [(kf, dist_sq, ref_to_frame SE3)]."""
+        """== findEuclideanOverlapFrames (TrackableKeyFrameSearch.cpp:56-98),
+        as ONE batched distance/angle computation over the cached (N,8)
+        keyframe pose matrix. Returns [(kf, dist_sq, ref_to_frame SE3)]."""
         cos_angle_th = math.cos(angle_th * 0.5 * (self.fow_x + self.fow_y))
+        frame_c2w = np.asarray(frame_c2w, np.float64)
         pos = frame_c2w[4:7]
         view = nps.quat_to_matrix(frame_c2w[0:4])[:, 2]
         dist_fac_recip = mean_idepth / frame_c2w[7]
 
-        out = []
-        for kf in self.system.keyframes:
-            c2w = kf.pose.cam_to_world()
-            dist_fac = kf.mean_idepth / c2w[7]
-            if check_both_scales and dist_fac_recip < dist_fac:
-                dist_fac = dist_fac_recip
-            d = (pos - c2w[4:7]) * dist_fac
-            d2 = float(d @ d)
-            if d2 > distance_th:
-                continue
-            other_view = nps.quat_to_matrix(c2w[0:4])[:, 2]
-            if float(other_view @ view) < cos_angle_th:
-                continue
-            ref_to_frame = nps.se3_from_sim3(
-                nps.sim3_mul(nps.sim3_inverse(c2w), frame_c2w))
-            # the reference stores refToFrame = (kf^-1 * frame).inverse()
-            # inverted again at use; keep frame-in-kf ("frameToRef") inverse:
-            out.append((kf, d2, nps.se3_inverse(ref_to_frame)))
-        return out
+        c2w_all, pos_all, z_all, dist_fac = self._kf_pose_matrix()
+        if len(c2w_all) == 0:
+            return []
+        if check_both_scales:
+            dist_fac = np.minimum(dist_fac, dist_fac_recip)
+        d = (pos[None, :] - pos_all) * dist_fac[:, None]
+        d2 = np.einsum("ni,ni->n", d, d)
+        ok = (d2 <= distance_th) & (z_all @ view >= cos_angle_th)
+
+        sel = np.nonzero(ok)[0]
+        if len(sel) == 0:
+            return []
+        # the reference stores refToFrame = (kf^-1 * frame).inverse()
+        # inverted again at use; keep frame-in-kf ("frameToRef") inverse —
+        # computed for all hits in one batched pass
+        f2r = nps.se3_inverse(nps.se3_from_sim3(
+            nps.sim3_mul(nps.sim3_inverse(c2w_all[sel]),
+                         frame_c2w[None, :])))
+        return [(self.system.keyframes[i], float(d2[i]), f2r[k])
+                for k, i in enumerate(sel)]
 
     def find_candidates(self, kf, closeness_th: float):
         """== findCandidates (TrackableKeyFrameSearch.cpp:174-203):
@@ -486,14 +517,19 @@ class KeyFrameGraph:
             kf.pose.set_graph_opt_result(new_pose)
         return max_change
 
-    def optimize_slices(self) -> bool:
-        """5-iteration slices until converged (SlamSystem.cpp:371-377)."""
+    def optimize_slices(self, max_slices: int = 20) -> bool:
+        """5-iteration slices until converged (SlamSystem.cpp:371-377).
+
+        max_slices bounds the synchronous work per call: the reference runs
+        its slices on a dedicated thread, so an in-line caller (sequential
+        mode's mapping step) must cap how long a loop closure can stall the
+        frame loop; convergence continues across subsequent calls."""
         cfg = self.system.cfg.system
         if self.pose_graph.n_edges == 0:
             return False
         self._push_poses_to_graph()
         changed = False
-        for _ in range(20):
+        for _ in range(max_slices):
             self.pose_graph.optimize(cfg.pgo_iterations_per_slice)
             change = self._pull_poses_from_graph()
             changed = changed or change > 1e-12

@@ -408,6 +408,7 @@ class SlamSystem:
 
     def load_existing_keyframe(self, kf: Keyframe):
         """== loadNewCurrentKeyframe (SlamSystem.cpp:492-506)."""
+        self.stats.bump("keyframes_reactivated")
         re_id, re_var, re_validity = kf.reactivation
         self.map.set_from_existing_kf(re_id, re_var, re_validity)
         self._export_depth_to(kf)

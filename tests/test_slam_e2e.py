@@ -1,6 +1,8 @@
 """Full SLAM end-to-end: keyframe graph, Sim3 constraints, PGO, loop closure
 on a synthetic out-and-back trajectory (configs[2] in BASELINE.json)."""
 
+import dataclasses
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -93,17 +95,27 @@ def test_slam_finds_nonparent_constraint(loop_seq):
 
 
 def test_slam_reactivates_keyframe(loop_seq):
-    """Returning to a mapped region should re-activate an old keyframe
+    """Returning to a mapped region must re-activate an old keyframe
     instead of creating a new one (doKFReActivation, SlamSystem.cpp:507-540)
-    at least once on the return leg."""
+    at least once on the return leg — asserted via the counter bumped by
+    load_existing_keyframe."""
     cam, imgs, deps, gt = loop_seq
-    sys = SlamSystem(cam, slam_config(), enable_slam=True)
+    # kf_usage_weight at the reference default (3.0): the aggressive value
+    # the other tests use inflates the usage term of the reposition score
+    # above the acceptance bound, masking reactivation entirely
+    cfg = slam_config()
+    cfg = cfg.replace(keyframe=dataclasses.replace(cfg.keyframe,
+                                                   kf_usage_weight=3.0))
+    sys = SlamSystem(cam, cfg, enable_slam=True)
     sys.gt_depth_init(imgs[0], deps[0], 0, 0.0)
     for i in range(1, N):
         sys.track_frame(imgs[i], i, i / 30.0)
+    # retrace the return leg once more: by now the region is fully mapped,
+    # so keyframe switches must hit the reposition candidate path
+    for j, i in enumerate(range(N - 2, N // 2, -1)):
+        sys.track_frame(imgs[i], N + j, (N + j) / 30.0)
     sys.finalize()
     ids = [kf.id for kf in sys.keyframes]
-    # if reactivation fired, the current keyframe is one of the earlier ones
-    # OR fewer keyframes exist than forward-leg-only creation would give;
-    # weak but deterministic signal: no duplicated ids and monotonic count
     assert len(set(ids)) == len(ids)
+    assert sys.stats.counters["keyframes_reactivated"] >= 1, \
+        dict(sys.stats.counters)
