@@ -169,6 +169,10 @@ class SystemConfig:
     do_slam: bool = True
     do_mapping: bool = True
     use_fabmap: bool = False
+    # shard batched candidate checks / distributed PGO over the local device
+    # mesh whenever more than one device is visible (pod slice, or the
+    # virtual CPU mesh in tests); single-device runs are unaffected
+    use_device_mesh: bool = True
     pyramid_levels: int = 5  # PYRAMID_LEVELS, settings.h:104
     # sequential-deterministic mode: tracking blocks until mapping drains the
     # queue (the reference's hz=0 semantics, SlamSystem.cpp:1030-1039); the

@@ -65,6 +65,11 @@ class MappingBackend:
             self.system.registry.invalidate_all()
         self._have_unmerged = False
 
+    def refresh_permaref(self, kf):
+        """== Frame::setPermaRef at finishCurrentKeyframe."""
+        if self._graph is not None:
+            self._graph.set_permaref(kf)
+
     def find_reposition_candidate(self, tracked, max_score: float):
         if self._graph is None:
             return None

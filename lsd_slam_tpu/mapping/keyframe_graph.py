@@ -74,6 +74,81 @@ class KeyFrameGraph:
         # field of view for the candidate angle check
         self.fow_x = 2.0 * math.atan(cam.width / (cam.fx * 2.0))
         self.fow_y = 2.0 * math.atan(cam.height / (cam.fy * 2.0))
+        # permaRef store (== Frame::setPermaRef, Frame.cpp:149-174): the
+        # always-resident level-4 point set + frame quad layout per
+        # keyframe. Relocalization, reposition search and the reciprocal
+        # close-candidate pre-checks track against these — a minimized
+        # keyframe never needs its full pyramid restored for a quick check.
+        self._permaref: Dict[int, tuple] = {}
+        # device mesh for sharded batched checks (None on single device)
+        from lsd_slam_tpu import parallel
+        self.mesh = (parallel.default_mesh()
+                     if cfg.system.use_device_mesh else None)
+        if self.mesh is not None:
+            self._sharded_refs = parallel.sharded_quick_track(
+                self.mesh, self.quick_tracker)
+            self._sharded_frames = parallel.sharded_quick_track_frames(
+                self.mesh, self.quick_tracker)
+
+    # ------------------------------------------------------------ permaref
+
+    def set_permaref(self, kf):
+        """Snapshot the keyframe's level-4 point set + quad layout
+        (== Frame::setPermaRef called from finishCurrentKeyframe,
+        SlamSystem.cpp:404-405). Tiny (~130 KB at 640x480), stays in HBM."""
+        l = self.quick_tracker.level
+        self._permaref[kf.id] = (kf.tracking_ref.pts[l], kf.pyr.quad[l])
+
+    def _get_permaref(self, kf):
+        if kf.id not in self._permaref:
+            self.set_permaref(kf)
+        return self._permaref[kf.id]
+
+    # --------------------------------------------------- batched tracking
+
+    def _pad_batch(self, n: int) -> int:
+        from lsd_slam_tpu.parallel import pad_to_mesh
+        return pad_to_mesh(n, self.mesh)
+
+    def _batch_track_refs(self, pts_list, frame_quad, inits):
+        """Quick-track one frame against N keyframe point sets in one
+        bucketed batch (sharded over the mesh when present). Returns host
+        (ref_to_frame (N,7), good (N,), usage, good_count, bad_count)."""
+        n = len(pts_list)
+        b = self._pad_batch(n)
+        pad = jax.tree_util.tree_map(jnp.zeros_like, pts_list[0])
+        pts_list = list(pts_list) + [pad] * (b - n)
+        refs = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pts_list)
+        inits_j = jnp.asarray(np.concatenate(
+            [np.asarray(inits, np.float32).reshape(n, 7),
+             np.tile(nps.se3_identity().astype(np.float32), (b - n, 1))]))
+        if self.mesh is not None:
+            out = self._sharded_refs(refs, frame_quad, inits_j)
+        else:
+            res = self.quick_tracker.track_batch_pts(refs, frame_quad,
+                                                     inits_j)
+            out = (res.ref_to_frame, res.tracking_good, res.point_usage,
+                   res.good_count, res.bad_count)
+        return tuple(np.asarray(o)[:n] for o in out)
+
+    def _batch_track_frames(self, ref_pts, quads_list, inits):
+        """Quick-track ONE reference against N frame quad layouts (the
+        reciprocal direction), bucketed/sharded like _batch_track_refs."""
+        n = len(quads_list)
+        b = self._pad_batch(n)
+        quads = jnp.stack(list(quads_list)
+                          + [jnp.zeros_like(quads_list[0])] * (b - n))
+        inits_j = jnp.asarray(np.concatenate(
+            [np.asarray(inits, np.float32).reshape(n, 7),
+             np.tile(nps.se3_identity().astype(np.float32), (b - n, 1))]))
+        if self.mesh is not None:
+            out = self._sharded_frames(ref_pts, quads, inits_j)
+        else:
+            res = self.quick_tracker.track_batch_frames(ref_pts, quads,
+                                                        inits_j)
+            out = (res.ref_to_frame, res.tracking_good, res.point_usage,
+                   res.good_count, res.bad_count)
+        return tuple(np.asarray(o)[:n] for o in out)
 
     # ------------------------------------------------------------ vertices
 
@@ -86,6 +161,7 @@ class KeyFrameGraph:
         self.kf_to_vertex[kf.id] = vid
         self.neighbors.setdefault(kf.id, set())
         kf.pose.is_in_graph = True
+        self.set_permaref(kf)
         if self.appearance is not None:
             self.appearance.add(kf.id, kf.pyr)
 
@@ -219,6 +295,8 @@ class KeyFrameGraph:
         cands = self.find_euclidean_overlap_frames(
             c2w, mean_id, max_score / (kcfg.kf_dist_weight ** 2), 0.75)
 
+        l = self.quick_tracker.level
+        frame_quad = tracked.pyr.quad[l]
         best = None
         best_score = max_score
         for kf, dist_sq, ref_to_frame in cands:
@@ -226,12 +304,13 @@ class KeyFrameGraph:
                 continue
             if kf.idx_in_keyframes < kcfg.initialization_phase_count:
                 continue
-            usage = self.quick_tracker.check_overlap(
-                kf.tracking_ref, tracked.pyr, ref_to_frame)
+            pts, _ = self._get_permaref(kf)
+            usage = self.quick_tracker.check_overlap_pts(
+                pts, frame_quad, ref_to_frame)
             score = self.system._ref_frame_score(dist_sq, usage)
             if score < max_score:
-                res = self.quick_tracker.track(kf.tracking_ref, tracked.pyr,
-                                               ref_to_frame)
+                res = self.quick_tracker.track_pts(pts, frame_quad,
+                                                   ref_to_frame)
                 tracked_pose = np.asarray(res.ref_to_frame, np.float64)
                 dist = tracked_pose[4:7] * kf.mean_idepth
                 new_score = self.system._ref_frame_score(
@@ -376,9 +455,12 @@ class KeyFrameGraph:
         distances = self.graph_distances_from(parent_kf)
 
         # -------- close candidates: reciprocal SE3 quick check with SO3
-        # disturbance (SlamSystem.cpp:1283-1310)
+        # disturbance (SlamSystem.cpp:1283-1310), run as TWO bucketed
+        # batched quick-track programs over all candidates at once
+        # (sharded across the device mesh when present) instead of the
+        # reference's serial per-candidate loop
         disturb = np.array([math.cos(0.025), math.sin(0.025), 0, 0])
-        close: List = []
+        pre: List = []
         for fid, cand in candidates.items():
             if fid == new_kf.id or not cand.pose.is_in_graph:
                 continue
@@ -386,29 +468,37 @@ class KeyFrameGraph:
                 continue
             if cand.idx_in_keyframes < kcfg.initialization_phase_count:
                 continue
-            # note the order: project to SE3 *then* invert, like the
-            # reference's se3FromSim3(x.inverse()).inverse() (matters when
-            # scale != 1 since se3FromSim3 drops it)
-            c2f_init = nps.se3_inverse(
-                nps.se3_from_sim3(nps.sim3_inverse(init_map[fid])))
-            c2f_init = np.concatenate(
-                [nps.quat_mul(c2f_init[0:4], disturb), c2f_init[4:7]])
-            r1 = self.quick_tracker.track(cand.tracking_ref, new_kf.pyr,
-                                          c2f_init)
-            if not bool(r1.tracking_good):
-                continue
-            f2c_init = nps.se3_inverse(nps.se3_from_sim3(init_map[fid]))
-            f2c_init = np.concatenate(
-                [nps.quat_mul(disturb, f2c_init[0:4]), f2c_init[4:7]])
-            r2 = self.quick_tracker.track(new_kf.tracking_ref,
-                                          cand.pyr, f2c_init)
-            if not bool(r2.tracking_good):
-                continue
-            rot = nps.quat_mul(np.asarray(r2.ref_to_frame, np.float64)[0:4],
-                               np.asarray(r1.ref_to_frame, np.float64)[0:4])
-            if float(np.linalg.norm(nps.so3_log(rot))) >= kcfg.close_consistency_th:
-                continue
-            close.append(cand)
+            pre.append(cand)
+
+        close: List = []
+        if pre:
+            l = self.quick_tracker.level
+            c2f_inits, f2c_inits, cand_pts, cand_quads = [], [], [], []
+            for cand in pre:
+                # note the order: project to SE3 *then* invert, like the
+                # reference's se3FromSim3(x.inverse()).inverse() (matters
+                # when scale != 1 since se3FromSim3 drops it)
+                c2f = nps.se3_inverse(
+                    nps.se3_from_sim3(nps.sim3_inverse(init_map[cand.id])))
+                c2f_inits.append(np.concatenate(
+                    [nps.quat_mul(c2f[0:4], disturb), c2f[4:7]]))
+                f2c = nps.se3_inverse(nps.se3_from_sim3(init_map[cand.id]))
+                f2c_inits.append(np.concatenate(
+                    [nps.quat_mul(disturb, f2c[0:4]), f2c[4:7]]))
+                pts, quad = self._get_permaref(cand)
+                cand_pts.append(pts)
+                cand_quads.append(quad)
+            p1, good1, _, _, _ = self._batch_track_refs(
+                cand_pts, new_kf.pyr.quad[l], np.stack(c2f_inits))
+            new_pts, _ = self._get_permaref(new_kf)
+            p2, good2, _, _, _ = self._batch_track_frames(
+                new_pts, cand_quads, np.stack(f2c_inits))
+            rot = nps.quat_mul(np.asarray(p2, np.float64)[:, 0:4],
+                               np.asarray(p1, np.float64)[:, 0:4])
+            rot_err = np.linalg.norm(nps.so3_log(rot), axis=-1)
+            keep = (np.asarray(good1, bool) & np.asarray(good2, bool)
+                    & (rot_err < kcfg.close_consistency_th))
+            close = [cand for cand, k in zip(pre, keep) if k]
 
         # -------- far candidates (SlamSystem.cpp:1314-1337)
         far: List = []
@@ -548,26 +638,78 @@ class KeyFrameGraph:
     # ------------------------------------------------------------ reloc
 
     def relocalize(self, pyr):
-        """Batched permaRef relocalization: try all keyframes at once
-        (replaces the 6-thread race, Relocalizer.cpp:117-243)."""
-        kfs = self.system.keyframes
+        """Batched permaRef relocalization with neighbor-consensus voting.
+
+        Replaces the 6-thread race (Relocalizer.cpp:117-243) with ONE
+        bucketed batched quick-track of the frame against every keyframe's
+        permaRef (sharded over the mesh when present), then — per the
+        reference's acceptance pipeline (Relocalizer.cpp:176-231) — a
+        second batched pass over the best candidate's graph neighbors:
+        each neighbor votes 'good' when its own quick-track agrees
+        (goodVal > 0.8·TH and pose within 0.1 of the prediction); the
+        candidate is accepted only when good > bad or good >= 5. Returns
+        (best keyframe, frame->keyframe SE3 init) for the full-track
+        re-verification in SlamSystem (== takeRelocalizeResult,
+        SlamSystem.cpp:695-737), or None."""
+        kfs = [kf for kf in self.system.keyframes if kf.id in self._permaref]
         if not kfs:
             return None
         kcfg = self.system.cfg.keyframe
         l = self.quick_tracker.level
-        refs = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs), *[kf.tracking_ref.pts[l] for kf in kfs])
-        inits = np.tile(nps.se3_identity(), (len(kfs), 1)).astype(np.float32)
-        res = self.quick_tracker.track_batch(refs, pyr, inits)
-        good = np.asarray(res.tracking_good)
-        usage = np.asarray(res.point_usage)
-        gc = np.asarray(res.good_count, np.float32)
-        bc = np.asarray(res.bad_count, np.float32)
-        score = usage * gc / np.maximum(gc + bc, 1.0)
-        score = np.where(good, score, -1.0)
-        best = int(np.argmax(score))
-        if score[best] > kcfg.relocalization_th:
-            return kfs[best], np.asarray(res.ref_to_frame, np.float64)[best]
+        frame_quad = pyr.quad[l]
+        pts_list = [self._permaref[kf.id][0] for kf in kfs]
+        inits = np.tile(nps.se3_identity(), (len(kfs), 1))
+        k2f, good, usage, gc, bc = self._batch_track_refs(
+            pts_list, frame_quad, inits)
+        good_val = usage * gc / np.maximum(gc + bc, 1.0)
+        good_val = np.where(np.isfinite(good_val), good_val, -1.0)
+        id_to_idx = {kf.id: i for i, kf in enumerate(kfs)}
+
+        # try the best few candidates (the thread race accepts the first
+        # passer; ordering by score is the deterministic analog)
+        for cand_idx in np.argsort(good_val)[::-1][:3]:
+            if good_val[cand_idx] <= kcfg.relocalization_th:
+                break
+            todo = kfs[cand_idx]
+            todo_to_frame = np.asarray(k2f[cand_idx], np.float64)
+            n_ids = [nid for nid in sorted(self.neighbors.get(todo.id, ()))
+                     if nid in self._permaref]
+            best_kf, best_pose = todo, todo_to_frame
+            best_val = good_val[cand_idx]
+            n_good = n_bad = 0
+            if n_ids:
+                # predicted init per neighbor (Relocalizer.cpp:187):
+                # nkf->frame = (se3(nkf.c2w^-1 * todo.c2w *
+                #               sim3(todoToFrame^-1)))^-1
+                todo_c2w = todo.pose.cam_to_world()
+                n_inits, n_pts = [], []
+                for nid in n_ids:
+                    nkf = self.system.id_to_keyframe[nid]
+                    inner = nps.sim3_mul(
+                        nps.sim3_mul(nps.sim3_inverse(nkf.pose.cam_to_world()),
+                                     todo_c2w),
+                        nps.sim3_from_se3(nps.se3_inverse(todo_to_frame)))
+                    n_inits.append(nps.se3_inverse(nps.se3_from_sim3(inner)))
+                    n_pts.append(self._permaref[nid][0])
+                nk2f, n_tg, n_usage, n_gc, n_bc = self._batch_track_refs(
+                    n_pts, frame_quad, np.stack(n_inits))
+                n_val = n_usage * n_gc / np.maximum(n_gc + n_bc, 1.0)
+                for j, nid in enumerate(n_ids):
+                    drift = nps.se3_log(nps.se3_mul(
+                        np.asarray(nk2f[j], np.float64),
+                        nps.se3_inverse(np.asarray(n_inits[j]))))
+                    ok = (n_val[j] > kcfg.relocalization_th * 0.8
+                          and float(np.linalg.norm(drift)) < 0.1)
+                    if ok:
+                        n_good += 1
+                    else:
+                        n_bad += 1
+                    if n_val[j] > best_val:
+                        best_val = n_val[j]
+                        best_kf = self.system.id_to_keyframe[nid]
+                        best_pose = np.asarray(nk2f[j], np.float64)
+            if n_good > n_bad or n_good >= 5:
+                return best_kf, nps.se3_inverse(best_pose)
         return None
 
 

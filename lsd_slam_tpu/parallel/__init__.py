@@ -13,8 +13,11 @@ The reference is single-machine (boost threads + ROS, SURVEY.md section
 
 from lsd_slam_tpu.parallel.distributed import (  # noqa: F401
     make_mesh,
+    default_mesh,
+    pad_to_mesh,
     distributed_pgo_normal_equations,
     sharded_quick_track,
+    sharded_quick_track_frames,
     distributed_pgo_step,
     distributed_pgo_cg_step,
 )

@@ -40,6 +40,25 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.asarray(devs), (AXIS,))
 
 
+def default_mesh() -> Mesh | None:
+    """The engine's mesh: all local devices when more than one is present
+    (a pod slice, or the virtual CPU mesh in tests), else None — callers
+    fall back to single-device paths."""
+    devs = jax.devices()
+    return Mesh(np.asarray(devs), (AXIS,)) if len(devs) > 1 else None
+
+
+def pad_to_mesh(n: int, mesh: Mesh | None, minimum: int = 4) -> int:
+    """Smallest power-of-two-ish bucket >= n that divides by the mesh size.
+    Bucketing keeps the jitted batch programs to a handful of shapes
+    instead of recompiling per candidate count."""
+    base = max(minimum, mesh.devices.size if mesh is not None else 1)
+    b = base
+    while b < n:
+        b *= 2
+    return b
+
+
 # ---------------------------------------------------------------------------
 # distributed pose-graph normal equations
 # ---------------------------------------------------------------------------
@@ -229,6 +248,27 @@ def sharded_quick_track(mesh: Mesh, quick_tracker):
         out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
         # the LM while_loop carries replicated scalars that become varying
         # per-shard; skip the varying-manual-axes check
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_quick_track_frames(mesh: Mesh, quick_tracker):
+    """The reciprocal direction: ONE reference point set (replicated)
+    tracked against a mesh-sharded batch of frame quad layouts — the
+    second half of the close-candidate reciprocal SE3 pre-check
+    (SlamSystem.cpp:1283-1310) runs one shard of candidates per chip."""
+
+    def local(ref_pts, frames, inits):
+        res = jax.vmap(quick_tracker._impl, in_axes=(None, 0, 0))(
+            ref_pts, frames, inits)
+        return (res.ref_to_frame, res.tracking_good, res.point_usage,
+                res.good_count, res.bad_count)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
         check_rep=False,
     )
     return jax.jit(fn)

@@ -353,6 +353,10 @@ class SlamSystem:
             self.map.finalize_keyframe(kf.pyr.max_grad[0])
         self._export_depth_to(kf)
         kf.reactivation = self.map.reactivation_snapshot()
+        if self.backend is not None:
+            # == setPermaRef on every finish (SlamSystem.cpp:404-405), so a
+            # re-finished (reactivated) keyframe refreshes its level-4 cloud
+            self.backend.refresh_permaref(kf)
         if kf.idx_in_keyframes < 0:
             kf.idx_in_keyframes = len(self.keyframes)
             self.keyframes.append(kf)
@@ -419,18 +423,41 @@ class SlamSystem:
     # ------------------------------------------------------------- reloc
 
     def _attempt_relocalization(self, pyr, frame_id, timestamp):
+        """Consensus-voted candidate from the batched relocalizer, then a
+        FULL SE3 track re-verification before re-activating
+        (== takeRelocalizeResult, SlamSystem.cpp:695-737)."""
         if self.backend is None:
             return
         hit = self.backend.relocalize(pyr, frame_id, timestamp)
-        if hit is not None:
-            kf, frame_to_ref = hit
-            self.load_existing_keyframe(kf)
-            node = self._new_pose_node(frame_id)
-            node.this_to_parent = nps.sim3_from_se3(frame_to_ref, 1.0)
-            node.parent = kf.pose
-            self.registry.invalidate_all()
-            self._log_pose(timestamp, frame_id, node)
-            self.tracking_is_good = True
+        if hit is None:
+            return
+        kf, frame_to_kf_init = hit
+        self.load_existing_keyframe(kf)
+        res = self.tracker.track(kf.tracking_ref, pyr,
+                                 jnp.asarray(frame_to_kf_init, jnp.float32))
+        host = np.asarray(res.host_pack, np.float64)
+        good = float(host[HP["good_count"]])
+        bad = float(host[HP["bad_count"]])
+        good_frac = good / max(good + bad, 1.0)
+        # acceptance bound from SlamSystem.cpp:717:
+        # goodFraction >= 1 - 0.75*(1 - MIN_GOODPERGOODBAD_PIXEL)
+        min_frac = 1.0 - 0.75 * (1.0
+                                 - self.cfg.tracker.min_goodpergoodbad_pixel)
+        if not bool(host[HP["tracking_good"]]) or good_frac < min_frac:
+            self.stats.bump("relocalization_rejected")
+            return
+        node = self._new_pose_node(frame_id)
+        node.this_to_parent = nps.sim3_from_se3(host[HP["frame_to_ref"]], 1.0)
+        node.parent = kf.pose
+        self.registry.invalidate_all()
+        self._log_pose(timestamp, frame_id, node)
+        self.latest_tracked = TrackedFrame(
+            frame_id, timestamp, node, pyr, res.good_mask,
+            float(host[HP["initial_residual"]]),
+            float(host[HP["point_usage"]]), kf.id)
+        self.create_new_keyframe = False
+        self.tracking_is_good = True
+        self.stats.bump("relocalized")
 
     # ------------------------------------------------------------- final
 

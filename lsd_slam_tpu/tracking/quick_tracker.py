@@ -50,6 +50,17 @@ class QuickTracker:
         # batched: level-l slices of (stacked) refs vs one frame
         self._trackN = jax.jit(jax.vmap(self._impl,
                                         in_axes=(0, None, 0)))
+        # batched the other way: ONE ref vs N stacked frames (the reciprocal
+        # direction of the close-candidate pre-check, SlamSystem.cpp:1283-1310)
+        self._trackN_frames = jax.jit(jax.vmap(self._impl,
+                                               in_axes=(None, 0, 0)))
+        self._overlap = jax.jit(self._overlap_impl)
+
+    def _overlap_impl(self, pts, frame_quad, pose):
+        caml = self.cam.level(self.level)
+        _, stats = _residual_pass(pose, 1.0, 0.0, pts, frame_quad, caml,
+                                  self.cfg)
+        return stats["usage"] / jnp.maximum(pts.n_valid, 1.0)
 
     def _impl(self, ref_pts, frame_level, init_ref_to_frame):
         """ref_pts: level-l PointSet; frame_level: level-l quad layout."""
@@ -140,17 +151,24 @@ class QuickTracker:
         return self._track1(self._ref_slice(ref), self._frame_slice(frame_pyr),
                             jnp.asarray(init_ref_to_frame, jnp.float32))
 
+    def track_pts(self, ref_pts, frame_quad, init_ref_to_frame
+                  ) -> QuickTrackResult:
+        """trackFrameOnPermaref on a raw level-l PointSet + quad layout —
+        the permaRef-cache path (no keyframe pyramid restore needed)."""
+        return self._track1(ref_pts, frame_quad,
+                            jnp.asarray(init_ref_to_frame, jnp.float32))
+
     def check_overlap(self, ref, frame_pyr, ref_to_frame):
         """== checkPermaRefOverlap: pointUsage at a fixed pose
         (SE3Tracker.cpp:121-158)."""
-        l = self.level
-        caml = self.cam.level(l)
-        pts = ref.pts[l]
-        buffers, stats = _residual_pass(
-            jnp.asarray(ref_to_frame, jnp.float32), 1.0, 0.0,
-            pts, frame_pyr.quad[l], caml, self.cfg)
-        ref_num = jnp.maximum(pts.n_valid, 1.0)
-        return float(stats["usage"] / ref_num)
+        return self.check_overlap_pts(ref.pts[self.level],
+                                      frame_pyr.quad[self.level],
+                                      ref_to_frame)
+
+    def check_overlap_pts(self, pts, frame_quad, ref_to_frame):
+        """checkPermaRefOverlap on a raw level-l PointSet + quad layout."""
+        return float(self._overlap(pts, frame_quad,
+                                   jnp.asarray(ref_to_frame, jnp.float32)))
 
     def track_batch(self, refs_stacked, frame_pyr, init_poses) -> QuickTrackResult:
         """Batched quick track: one frame against N stacked keyframe refs.
@@ -158,3 +176,16 @@ class QuickTracker:
         refs_stacked: a PointSet of stacked (N, budget4) level-4 arrays."""
         return self._trackN(refs_stacked, self._frame_slice(frame_pyr),
                             jnp.asarray(init_poses, jnp.float32))
+
+    def track_batch_pts(self, refs_stacked, frame_quad, init_poses
+                        ) -> QuickTrackResult:
+        """track_batch against a raw quad layout (permaRef-cache path)."""
+        return self._trackN(refs_stacked, frame_quad,
+                            jnp.asarray(init_poses, jnp.float32))
+
+    def track_batch_frames(self, ref_pts, frames_quads, init_poses
+                           ) -> QuickTrackResult:
+        """Batched quick track the other way: ONE reference point set
+        against N stacked level-l frame quad layouts."""
+        return self._trackN_frames(ref_pts, frames_quads,
+                                   jnp.asarray(init_poses, jnp.float32))

@@ -94,6 +94,37 @@ def test_slam_finds_nonparent_constraint(loop_seq):
         (e.first.id, e.second.id) for e in graph.edges]
 
 
+def test_slam_relocalizes_after_manual_loss(loop_seq):
+    """Inject manual tracking loss mid-sequence (the reference's 'l' hotkey,
+    settings.cpp:154-157) and verify the batched relocalizer recovers:
+    consensus vote + full-track re-verification (Relocalizer.cpp:176-231,
+    SlamSystem.cpp:695-737), recovered pose close to ground truth."""
+    cam, imgs, deps, gt = loop_seq
+    sys = SlamSystem(cam, slam_config(), enable_slam=True)
+    sys.gt_depth_init(imgs[0], deps[0], 0, 0.0)
+    for i in range(1, N):
+        sys.track_frame(imgs[i], i, i / 30.0)
+    assert sys.tracking_is_good
+    # lose tracking, then feed frames from the already-mapped return leg
+    sys.manual_tracking_loss = True
+    sys.track_frame(imgs[N - 1], N, N / 30.0)
+    assert not sys.tracking_is_good
+    recovered_at = None
+    for j, i in enumerate(range(N - 2, N // 2, -1)):
+        sys.track_frame(imgs[i], N + 1 + j, (N + 1 + j) / 30.0)
+        if sys.tracking_is_good:
+            recovered_at = i
+            break
+    assert recovered_at is not None, "relocalizer never recovered"
+    assert sys.stats.counters["relocalized"] >= 1
+    # recovered pose must be close to ground truth (gauge fixed by GT init)
+    est_c2w = sys.trajectory[-1][2]
+    gt_c2w = np.asarray(lie.se3_inverse(jnp.asarray(
+        gt[recovered_at], jnp.float32)), np.float64)
+    assert np.linalg.norm(est_c2w[4:7] - gt_c2w[4:7]) < 0.05, \
+        (est_c2w, gt_c2w)
+
+
 def test_slam_reactivates_keyframe(loop_seq):
     """Returning to a mapped region must re-activate an old keyframe
     instead of creating a new one (doKFReActivation, SlamSystem.cpp:507-540)
