@@ -58,7 +58,12 @@ class KeyFrameGraph:
                                         sigma2=cfg.mapping.camera_pixel_noise2)
         self.quick_tracker = QuickTracker(cam, cfg.tracker,
                                           sigma2=cfg.mapping.camera_pixel_noise2)
-        self.pose_graph = PoseGraph()
+        # device mesh for sharded batched checks and the distributed
+        # pose-graph solver (None on single device)
+        from lsd_slam_tpu import parallel
+        self.mesh = (parallel.default_mesh()
+                     if cfg.system.use_device_mesh else None)
+        self.pose_graph = PoseGraph(mesh=self.mesh)
         self.kf_to_vertex: Dict[int, int] = {}     # kf.id -> vertex idx
         self.neighbors: Dict[int, Set[int]] = {}   # kf.id -> set of kf.id
         self.edges: List[Constraint] = []
@@ -80,11 +85,8 @@ class KeyFrameGraph:
         # close-candidate pre-checks track against these — a minimized
         # keyframe never needs its full pyramid restored for a quick check.
         self._permaref: Dict[int, tuple] = {}
-        # device mesh for sharded batched checks (None on single device)
-        from lsd_slam_tpu import parallel
-        self.mesh = (parallel.default_mesh()
-                     if cfg.system.use_device_mesh else None)
         if self.mesh is not None:
+            from lsd_slam_tpu import parallel
             self._sharded_refs = parallel.sharded_quick_track(
                 self.mesh, self.quick_tracker)
             self._sharded_frames = parallel.sharded_quick_track_frames(

@@ -78,11 +78,18 @@ class PoseGraph:
     and solved directly (f64 host solve for conditioning); above it the
     matrix-free block-Jacobi PCG path (mapping/sparse_pgo.py) takes over —
     O(E) memory, whole solve on device.
+
+    When a device mesh is supplied (> 1 chip), both paths switch to the
+    edge-sharded distributed programs (parallel/distributed.py): each chip
+    assembles / matvecs its edge slice and H, g reduce with ONE psum over
+    ICI. Vertex and edge arrays pad to power-of-two buckets (extra vertices
+    fixed at identity, extra edges zero-information self-loops) so the
+    jitted step compiles for a handful of shapes as the map grows.
     """
 
     dense_threshold = 320
 
-    def __init__(self):
+    def __init__(self, mesh=None):
         self.poses: List[np.ndarray] = []       # camToWorld Sim3 (8,) f64
         self.fixed: List[bool] = []
         self.e_from: List[int] = []
@@ -90,6 +97,8 @@ class PoseGraph:
         self.e_meas_inv: List[np.ndarray] = []  # inverse measurement (8,)
         self.e_info: List[np.ndarray] = []      # (7,7)
         self.e_delta: List[float] = []
+        self.mesh = mesh
+        self._dist_steps = {}  # (n_vert_bucket, kind) -> jitted step
 
     # ------------------------------------------------------------ build
 
@@ -122,6 +131,90 @@ class PoseGraph:
 
     # ------------------------------------------------------------ optimize
 
+    def _padded_device_arrays(self):
+        """Bucket-padded (poses, fixed, efrom, eto, meas_inv, info, delta)
+        with nb/eb the padded vertex/edge counts. Padding vertices are
+        fixed identities; padding edges are zero-information self-loops on
+        vertex 0 (their residual, blocks and matvec contribution are all
+        exactly zero)."""
+        n, e = self.n_vertices, self.n_edges
+        mult = int(self.mesh.devices.size) if self.mesh is not None else 1
+        nb = 16
+        while nb < n:
+            nb *= 2
+        eb = max(16, mult)
+        while eb < e:
+            eb *= 2
+
+        poses = np.tile(nps.sim3_identity(), (nb, 1)).astype(np.float32)
+        poses[:n] = np.stack(self.poses).astype(np.float32)
+        fixed = np.ones(nb, bool)
+        fixed[:n] = self.fixed
+        efrom = np.zeros(eb, np.int32)
+        efrom[:e] = self.e_from
+        eto = np.zeros(eb, np.int32)
+        eto[:e] = self.e_to
+        meas_inv = np.tile(nps.sim3_identity(), (eb, 1)).astype(np.float32)
+        meas_inv[:e] = np.stack(self.e_meas_inv).astype(np.float32)
+        info = np.zeros((eb, 7, 7), np.float32)
+        info[:e] = np.stack(self.e_info).astype(np.float32)
+        delta = np.full(eb, 1e6, np.float32)
+        delta[:e] = self.e_delta
+        return nb, eb, poses, fixed, efrom, eto, meas_inv, info, delta
+
+    def _mesh_step(self, nb: int, kind: str):
+        key = (nb, kind)
+        if key not in self._dist_steps:
+            from lsd_slam_tpu.parallel import (distributed_pgo_step,
+                                               distributed_pgo_cg_step)
+            if kind == "dense":
+                self._dist_steps[key] = distributed_pgo_step(self.mesh, nb)
+            else:
+                self._dist_steps[key] = distributed_pgo_cg_step(self.mesh, nb)
+        return self._dist_steps[key]
+
+    def _optimize_mesh(self, num_iterations: int) -> float:
+        """Damped-GN loop over the edge-sharded distributed step (dense
+        replicated solve below dense_threshold, matrix-free PCG above) —
+        the multi-chip body of optimizationIteration."""
+        n = self.n_vertices
+        nb, eb, poses, fixed, efrom, eto, meas_inv, info, delta = \
+            self._padded_device_arrays()
+        step = self._mesh_step(nb, "dense" if nb <= self.dense_threshold
+                               else "cg")
+        args = (jnp.asarray(fixed), jnp.asarray(efrom), jnp.asarray(eto),
+                jnp.asarray(meas_inv), jnp.asarray(info), jnp.asarray(delta))
+        poses_j = jnp.asarray(poses)
+        lam = 1e-6
+        last_chi2 = None
+        for _ in range(num_iterations):
+            new_poses, chi2, dmax = step(poses_j, *args, jnp.float32(lam))
+            total_chi2 = float(chi2)
+            dmax = float(dmax)
+            if not np.isfinite(dmax) or dmax > 10.0:
+                lam *= 10
+                continue
+            poses_j = new_poses
+            if last_chi2 is not None and total_chi2 > last_chi2 * 1.5:
+                lam *= 10
+            else:
+                lam = max(lam * 0.3, 1e-8)
+            last_chi2 = total_chi2
+            if dmax < 1e-9:
+                break
+
+        new_poses = np.asarray(poses_j[:n], np.float64)
+        new_poses[:, 0:4] /= np.linalg.norm(new_poses[:, 0:4], axis=1,
+                                            keepdims=True)
+        max_change = 0.0
+        for i in range(n):
+            if not self.fixed[i]:
+                d = nps.sim3_mul(nps.sim3_inverse(self.poses[i]),
+                                 new_poses[i])
+                max_change = max(max_change, nps.sim3_log_norm(d))
+                self.poses[i] = new_poses[i]
+        return float(max_change)
+
     def optimize(self, num_iterations: int) -> float:
         """Gauss-Newton with diagonal damping; returns the max vertex-pose
         change |log| like optimizationIteration (SlamSystem.cpp:1612-1651).
@@ -129,6 +222,8 @@ class PoseGraph:
         n = self.n_vertices
         if n < 2 or self.n_edges == 0:
             return 0.0
+        if self.mesh is not None:
+            return self._optimize_mesh(num_iterations)
         if n > self.dense_threshold:
             from lsd_slam_tpu.mapping.sparse_pgo import optimize_sparse
             return optimize_sparse(self, num_iterations)

@@ -125,7 +125,6 @@ def distributed_pgo_step(mesh: Mesh, n_vertices: int):
     def step(poses, fixed_mask, efrom, eto, meas_inv, info, huber_delta,
              lam):
         H, g, chi2 = assemble(poses, efrom, eto, meas_inv, info, huber_delta)
-        n7 = n_vertices * 7
         fixed7 = jnp.repeat(fixed_mask, 7)
         keep = (~fixed7).astype(jnp.float32)
         H = H * keep[:, None] * keep[None, :] + jnp.diag(fixed7.astype(jnp.float32))
@@ -134,7 +133,9 @@ def distributed_pgo_step(mesh: Mesh, n_vertices: int):
         delta = jnp.linalg.solve(H, -g)
         new_poses = lie.sim3_mul(lie.sim3_exp(delta.reshape(n_vertices, 7)),
                                  poses)
-        return new_poses, chi2
+        # dmax lets the host LM loop reject runaway steps without pulling
+        # the whole delta vector
+        return new_poses, chi2, jnp.max(jnp.abs(delta))
 
     return step
 
@@ -213,13 +214,13 @@ def distributed_pgo_cg_step(mesh: Mesh, n_vertices: int,
         delta, _, _, _, _, _ = jax.lax.while_loop(
             cond, body, (x0, b, z0, z0, rz0, jnp.int32(0)))
         new_poses = lie.sim3_mul(lie.sim3_exp(delta), poses)
-        return new_poses, chi2_sum
+        return new_poses, chi2_sum, jnp.max(jnp.abs(delta))
 
     fn = shard_map(
         local_step, mesh=mesh,
         in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
                   P()),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P()),
         check_rep=False,
     )
     return jax.jit(fn)

@@ -64,10 +64,10 @@ def test_distributed_step_reduces_chi2():
     p = jnp.asarray(poses)
     chis = []
     for _ in range(6):
-        p, chi = step(p, jnp.asarray(fixed), jnp.asarray(efrom),
-                      jnp.asarray(eto), jnp.asarray(meas_inv),
-                      jnp.asarray(info), jnp.asarray(deltas),
-                      jnp.float32(1e-6))
+        p, chi, _ = step(p, jnp.asarray(fixed), jnp.asarray(efrom),
+                         jnp.asarray(eto), jnp.asarray(meas_inv),
+                         jnp.asarray(info), jnp.asarray(deltas),
+                         jnp.float32(1e-6))
         chis.append(float(chi))
     assert chis[-1] < 0.5 * chis[0], chis
 
@@ -135,8 +135,8 @@ def test_distributed_cg_step_matches_dense_step():
     args = (jnp.asarray(fixed), jnp.asarray(efrom), jnp.asarray(eto),
             jnp.asarray(meas_inv), jnp.asarray(info), jnp.asarray(deltas),
             jnp.float32(1e-6))
-    p_dense, chi_d = dense_step(jnp.asarray(poses), *args)
-    p_cg, chi_c = cg_step(jnp.asarray(poses), *args)
+    p_dense, chi_d, _ = dense_step(jnp.asarray(poses), *args)
+    p_cg, chi_c, _ = cg_step(jnp.asarray(poses), *args)
     np.testing.assert_allclose(float(chi_d), float(chi_c), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(p_dense), np.asarray(p_cg),
                                atol=5e-4)
@@ -145,6 +145,6 @@ def test_distributed_cg_step_matches_dense_step():
     p = jnp.asarray(poses)
     chis = []
     for _ in range(6):
-        p, chi = cg_step(p, *args)
+        p, chi, _ = cg_step(p, *args)
         chis.append(float(chi))
     assert chis[-1] < 0.5 * chis[0], chis
