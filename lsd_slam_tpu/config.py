@@ -147,6 +147,9 @@ class KeyframeConfig:
     far_graph_dist_min: int = 4
     # batch size for vmapped candidate quick-checks (TPU-native; ref is serial)
     candidate_batch: int = 16
+    # idle re-track fires only once this many keyframes exist
+    # (SlamSystem.cpp:280: keyframesForRetrack.size() > 10)
+    retrack_min_keyframes: int = 10
 
 
 @dataclass(frozen=True)

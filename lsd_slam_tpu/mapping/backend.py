@@ -1,10 +1,12 @@
 """SLAM back-end orchestration: constraint search + pose-graph optimization.
 
-Sequential-mode equivalent of the reference's constraint-search and
-optimization threads (SlamSystem.cpp:266-381): after each new keyframe,
-search Sim(3) constraints against candidate keyframes and run pose-graph
-slices; merge optimized poses back before the next mapping step
-(mergeOptimizationOffset, SlamSystem.cpp:176-202).
+Equivalent of the reference's constraint-search and optimization threads
+(SlamSystem.cpp:266-381). Sequential mode runs both inline after each new
+keyframe for determinism; async mode reproduces the reference's full
+4-way overlap — tracking ∥ mapping ∥ constraint search ∥ optimization —
+with the constraint worker also re-tracking random old keyframes when
+idle (SlamSystem.cpp:275-310). Optimized poses are staged and merged back
+on the mapping path (mergeOptimizationOffset, SlamSystem.cpp:176-202).
 """
 
 from __future__ import annotations
@@ -28,6 +30,15 @@ class MappingBackend:
         self._constraint_searcher = None
         self._graph = None
         self._have_unmerged = False
+        self.constraint_thread = None
+        self.optimization_thread = None
+        if not system.cfg.system.sequential:
+            from lsd_slam_tpu.system.async_mapping import (
+                ConstraintThread, OptimizationThread)
+            self.constraint_thread = ConstraintThread(self)
+            self.optimization_thread = OptimizationThread(self)
+            self.constraint_thread.start()
+            self.optimization_thread.start()
 
     # lazily build the heavy pieces (Sim3 tracker compile) on first KF
     def _ensure(self):
@@ -43,6 +54,11 @@ class MappingBackend:
     def on_new_keyframe(self, kf: "Keyframe"):
         graph = self._ensure()
         graph.add_keyframe(kf)
+        if self.constraint_thread is not None:
+            # async: hand the keyframe to the constraint worker
+            # (== newKeyFrames queue, SlamSystem.cpp:417-420)
+            self.constraint_thread.push(kf)
+            return
         n_added = graph.find_constraints_for_new_keyframe(
             kf, force_parent=True)
         # the reference optimizes only when constraints arrived
@@ -53,12 +69,32 @@ class MappingBackend:
             if changed:
                 self._have_unmerged = True
 
+    def signal_new_constraints(self):
+        """== newConstraintAdded + signal (SlamSystem.cpp:1570-1579)."""
+        if self.optimization_thread is not None:
+            self.optimization_thread.signal()
+
+    def wait_until_drained(self, timeout: float = 120.0):
+        """Drain the async back-end (constraint queue, then optimizer)."""
+        if self.constraint_thread is not None:
+            self.constraint_thread.wait_until_drained(timeout)
+        if self.optimization_thread is not None:
+            self.optimization_thread.wait_until_drained(timeout)
+
+    def stop_threads(self):
+        if self.constraint_thread is not None:
+            self.constraint_thread.stop()
+            self.constraint_thread = None
+        if self.optimization_thread is not None:
+            self.optimization_thread.stop()
+            self.optimization_thread = None
+
     def merge_optimization_offset(self):
         """Apply staged graph-opt results (SlamSystem.cpp:176-202)."""
         if not self._have_unmerged or self._graph is None:
             return
         needs_publish = False
-        for kf in self.system.keyframes:
+        for kf in list(self.system.keyframes):
             if kf.pose.apply_graph_opt_result():
                 needs_publish = True
         if needs_publish:
@@ -93,6 +129,8 @@ class MappingBackend:
 
     def finalize(self):
         """Final full optimization (SlamSystem.cpp:225-263)."""
+        self.wait_until_drained()
+        self.stop_threads()
         if self._graph is None:
             return
         if self.system.cfg.system.full_reconstraint_on_finalize:

@@ -67,6 +67,8 @@ class KeyFrameGraph:
         self.kf_to_vertex: Dict[int, int] = {}     # kf.id -> vertex idx
         self.neighbors: Dict[int, Set[int]] = {}   # kf.id -> set of kf.id
         self.edges: List[Constraint] = []
+        # == keyframesForRetrack (KeyFrameGraph.h:171-174): idle re-track pool
+        self.keyframes_for_retrack: List = []
         self.last_constraint_tracked_c2w: Dict[int, np.ndarray] = {}
         self._rng = random.Random(0)
         # batched keyframe pose cache for candidate search, keyed on
@@ -164,6 +166,7 @@ class KeyFrameGraph:
         self.neighbors.setdefault(kf.id, set())
         kf.pose.is_in_graph = True
         self.set_permaref(kf)
+        self.keyframes_for_retrack.append(kf)
         if self.appearance is not None:
             self.appearance.add(kf.id, kf.pyr)
 
@@ -262,7 +265,7 @@ class KeyFrameGraph:
         return [(self.system.keyframes[i], float(d2[i]), f2r[k])
                 for k, i in enumerate(sel)]
 
-    def find_candidates(self, kf, closeness_th: float):
+    def find_candidates(self, kf, closeness_th: float, use_fabmap=True):
         """== findCandidates (TrackableKeyFrameSearch.cpp:174-203):
         Euclidean overlap union appearance-based candidate + its
         neighbors (the latter optional, == useFabMap)."""
@@ -274,7 +277,7 @@ class KeyFrameGraph:
             1.0 - 0.25 * closeness_th, check_both_scales=True)
         cands = {f.id: f for f, _, _ in frames}
         fabmap_id = None
-        if self.appearance is not None:
+        if self.appearance is not None and use_fabmap:
             fabmap_id = self.appearance.query(kf.pyr, kf.id)
             if fabmap_id is not None and fabmap_id in self.system.id_to_keyframe:
                 cands[fabmap_id] = self.system.id_to_keyframe[fabmap_id]
@@ -421,6 +424,7 @@ class KeyFrameGraph:
     # ------------------------------------------------------------ pipeline
 
     def find_constraints_for_new_keyframe(self, new_kf, force_parent=True,
+                                          use_fabmap=True,
                                           close_candidates_th=1.0) -> int:
         """== findConstraintsForNewKeyFrames (SlamSystem.cpp:1218-1587)."""
         sys = self.system
@@ -443,8 +447,8 @@ class KeyFrameGraph:
         self.last_constraint_tracked_c2w[new_kf.id] = \
             new_kf.pose.cam_to_world().copy()
 
-        candidates, fabmap_id = self.find_candidates(new_kf,
-                                                     close_candidates_th)
+        candidates, fabmap_id = self.find_candidates(
+            new_kf, close_candidates_th, use_fabmap=use_fabmap)
         my_neighbors = self.neighbors.get(new_kf.id, set())
         candidates = {fid: f for fid, f in candidates.items()
                       if fid not in my_neighbors}
@@ -590,14 +594,14 @@ class KeyFrameGraph:
     # ------------------------------------------------------------ optimize
 
     def _push_poses_to_graph(self):
-        for kf in self.system.keyframes:
+        for kf in list(self.system.keyframes):
             vid = self.kf_to_vertex.get(kf.id)
             if vid is not None and not kf.pose.is_optimized:
                 self.pose_graph.set_vertex(vid, kf.pose.cam_to_world())
 
     def _pull_poses_from_graph(self) -> float:
         max_change = 0.0
-        for kf in self.system.keyframes:
+        for kf in list(self.system.keyframes):
             vid = self.kf_to_vertex.get(kf.id)
             if vid is None or self.pose_graph.fixed[vid]:
                 continue

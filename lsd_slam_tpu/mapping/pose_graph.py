@@ -137,7 +137,12 @@ class PoseGraph:
         fixed identities; padding edges are zero-information self-loops on
         vertex 0 (their residual, blocks and matvec contribution are all
         exactly zero)."""
-        n, e = self.n_vertices, self.n_edges
+        # capture the edge count BEFORE the vertex count: vertices are
+        # always inserted before edges referencing them, so this order
+        # guarantees every edge in [:e] points at a vertex in [:n] even if
+        # the constraint worker appends concurrently
+        e = self.n_edges
+        n = self.n_vertices
         mult = int(self.mesh.devices.size) if self.mesh is not None else 1
         nb = 16
         while nb < n:
@@ -146,20 +151,24 @@ class PoseGraph:
         while eb < e:
             eb *= 2
 
+        # slice to the counts captured above: the async constraint worker
+        # may append vertices/edges while the optimizer snapshots (the
+        # reference double-buffers for the same reason,
+        # KeyFrameGraph.cpp:296-322) — late arrivals join the next slice
         poses = np.tile(nps.sim3_identity(), (nb, 1)).astype(np.float32)
-        poses[:n] = np.stack(self.poses).astype(np.float32)
+        poses[:n] = np.stack(self.poses[:n]).astype(np.float32)
         fixed = np.ones(nb, bool)
-        fixed[:n] = self.fixed
+        fixed[:n] = self.fixed[:n]
         efrom = np.zeros(eb, np.int32)
-        efrom[:e] = self.e_from
+        efrom[:e] = self.e_from[:e]
         eto = np.zeros(eb, np.int32)
-        eto[:e] = self.e_to
+        eto[:e] = self.e_to[:e]
         meas_inv = np.tile(nps.sim3_identity(), (eb, 1)).astype(np.float32)
-        meas_inv[:e] = np.stack(self.e_meas_inv).astype(np.float32)
+        meas_inv[:e] = np.stack(self.e_meas_inv[:e]).astype(np.float32)
         info = np.zeros((eb, 7, 7), np.float32)
-        info[:e] = np.stack(self.e_info).astype(np.float32)
+        info[:e] = np.stack(self.e_info[:e]).astype(np.float32)
         delta = np.full(eb, 1e6, np.float32)
-        delta[:e] = self.e_delta
+        delta[:e] = self.e_delta[:e]
         return nb, eb, poses, fixed, efrom, eto, meas_inv, info, delta
 
     def _mesh_step(self, nb: int, kind: str):
@@ -219,22 +228,25 @@ class PoseGraph:
         """Gauss-Newton with diagonal damping; returns the max vertex-pose
         change |log| like optimizationIteration (SlamSystem.cpp:1612-1651).
         """
+        # edge count snapshotted BEFORE vertex count (see
+        # _padded_device_arrays); the async constraint worker may append
+        # while we stack — late arrivals join the next slice
+        e = self.n_edges
         n = self.n_vertices
-        if n < 2 or self.n_edges == 0:
+        if n < 2 or e == 0:
             return 0.0
         if self.mesh is not None:
             return self._optimize_mesh(num_iterations)
         if n > self.dense_threshold:
             from lsd_slam_tpu.mapping.sparse_pgo import optimize_sparse
             return optimize_sparse(self, num_iterations)
-
-        poses = np.stack(self.poses).astype(np.float32)
-        efrom = jnp.asarray(np.asarray(self.e_from, np.int32))
-        eto = jnp.asarray(np.asarray(self.e_to, np.int32))
-        meas_inv = jnp.asarray(np.stack(self.e_meas_inv), jnp.float32)
-        info = jnp.asarray(np.stack(self.e_info), jnp.float32)
-        deltas = jnp.asarray(np.asarray(self.e_delta, np.float32))
-        fixed = np.asarray(self.fixed)
+        poses = np.stack(self.poses[:n]).astype(np.float32)
+        efrom = jnp.asarray(np.asarray(self.e_from[:e], np.int32))
+        eto = jnp.asarray(np.asarray(self.e_to[:e], np.int32))
+        meas_inv = jnp.asarray(np.stack(self.e_meas_inv[:e]), jnp.float32)
+        info = jnp.asarray(np.stack(self.e_info[:e]), jnp.float32)
+        deltas = jnp.asarray(np.asarray(self.e_delta[:e], np.float32))
+        fixed = np.asarray(self.fixed[:n])
 
         poses_j = jnp.asarray(poses)
         max_change = 0.0

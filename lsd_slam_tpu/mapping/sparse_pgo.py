@@ -149,17 +149,21 @@ def optimize_sparse(graph, num_iterations: int, max_cg_iters: int = 250):
     switch solvers purely on size. Returns max |log| vertex change."""
     from lsd_slam_tpu.lie import np_sim3 as nps
 
+    # edge count snapshotted BEFORE vertex count so concurrent appends by
+    # the async constraint worker can't produce an edge past the vertex
+    # slice (vertices always precede their edges)
+    e = graph.n_edges
     n = graph.n_vertices
-    if n < 2 or graph.n_edges == 0:
+    if n < 2 or e == 0:
         return 0.0
 
-    poses0 = np.stack(graph.poses).astype(np.float32)
-    efrom = jnp.asarray(np.asarray(graph.e_from, np.int32))
-    eto = jnp.asarray(np.asarray(graph.e_to, np.int32))
-    meas_inv = jnp.asarray(np.stack(graph.e_meas_inv), jnp.float32)
-    info = jnp.asarray(np.stack(graph.e_info), jnp.float32)
-    deltas = jnp.asarray(np.asarray(graph.e_delta, np.float32))
-    fixed = np.asarray(graph.fixed, bool)
+    poses0 = np.stack(graph.poses[:n]).astype(np.float32)
+    efrom = jnp.asarray(np.asarray(graph.e_from[:e], np.int32))
+    eto = jnp.asarray(np.asarray(graph.e_to[:e], np.int32))
+    meas_inv = jnp.asarray(np.stack(graph.e_meas_inv[:e]), jnp.float32)
+    info = jnp.asarray(np.stack(graph.e_info[:e]), jnp.float32)
+    deltas = jnp.asarray(np.asarray(graph.e_delta[:e], np.float32))
+    fixed = np.asarray(graph.fixed[:n], bool)
     fixed_j = jnp.asarray(fixed)
 
     poses_j = jnp.asarray(poses0)

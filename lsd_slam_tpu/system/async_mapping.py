@@ -76,3 +76,153 @@ class MappingThread:
             finally:
                 if self.queue.size() == 0:
                     self._idle.set()
+
+
+class ConstraintThread:
+    """Drains new keyframes into Sim(3) constraint search, and re-tracks
+    random old keyframes when idle (== constraintSearchThreadLoop,
+    SlamSystem.cpp:266-357): a random pick from the first third of
+    keyframesForRetrack is re-searched with force_parent off, appearance
+    retrieval off and relaxed closeness 2.0 (SlamSystem.cpp:281-290) —
+    this is how the reference keeps densifying the edge set."""
+
+    def __init__(self, backend, queue_capacity: int = 32):
+        self.backend = backend
+        self.queue = NotifyQueue(queue_capacity)
+        self._running = False
+        self._thread: Optional[threading.Thread] = None
+        self._idle = threading.Event()
+        self._idle.set()
+        self._failed_to_retrack = 0
+
+    def start(self):
+        if self._running:
+            return
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="lsd-constraints")
+        self._thread.start()
+
+    def stop(self):
+        self._running = False
+        if self._thread is not None:
+            self._thread.join(timeout=60.0)
+            self._thread = None
+
+    def push(self, kf) -> bool:
+        ok = self.queue.push(kf)
+        if ok:
+            self._idle.clear()
+        return ok
+
+    def wait_until_drained(self, timeout: float = 120.0) -> bool:
+        return self._idle.wait(timeout)
+
+    def _idle_retrack(self) -> bool:
+        """One random old-keyframe re-track (SlamSystem.cpp:275-310).
+        Returns True when a retrack was attempted and the list is still
+        productive (== doneSomething)."""
+        graph = self.backend._graph
+        if graph is None:
+            return False
+        retrack = graph.keyframes_for_retrack
+        sys = self.backend.system
+        if len(retrack) <= sys.cfg.keyframe.retrack_min_keyframes:
+            return False
+        idx = graph._rng.randrange(max(len(retrack) // 3, 1))
+        kf = retrack.pop(idx)
+        retrack.append(kf)
+        sys.stats.bump("retrack_attempts")
+        found = graph.find_constraints_for_new_keyframe(
+            kf, force_parent=False, use_fabmap=False,
+            close_candidates_th=2.0)
+        if found == 0:
+            self._failed_to_retrack += 1
+        else:
+            self._failed_to_retrack = 0
+            sys.stats.bump("retrack_constraints_found", found)
+            self.backend.signal_new_constraints()
+        return self._failed_to_retrack < len(retrack) - 5
+
+    def _loop(self):
+        import time as _time
+        while self._running:
+            kf = self.queue.pop(0.05)
+            if kf is None:
+                if self.queue.size() == 0:
+                    did_something = False
+                    try:
+                        did_something = self._idle_retrack()
+                    finally:
+                        if self.queue.size() == 0:
+                            self._idle.set()
+                    if not did_something:
+                        # exhausted re-tracks: back off like the reference's
+                        # 500 ms timed wait (SlamSystem.cpp:308)
+                        _time.sleep(0.2)
+                continue
+            try:
+                graph = self.backend._ensure()
+                n = graph.find_constraints_for_new_keyframe(
+                    kf, force_parent=True)
+                self._failed_to_retrack = 0
+                if n > 0:
+                    self.backend.signal_new_constraints()
+            finally:
+                if self.queue.size() == 0:
+                    self._idle.set()
+
+
+class OptimizationThread:
+    """Runs pose-graph slices whenever constraints arrive
+    (== optimizationThreadLoop, SlamSystem.cpp:359-381): 5-iteration
+    slices until no change, results staged for the mapping thread's merge
+    (mergeOptimizationOffset)."""
+
+    def __init__(self, backend):
+        self.backend = backend
+        self._running = False
+        self._thread: Optional[threading.Thread] = None
+        self._wake = threading.Event()
+        self._idle = threading.Event()
+        self._idle.set()
+
+    def start(self):
+        if self._running:
+            return
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="lsd-optimization")
+        self._thread.start()
+
+    def stop(self):
+        self._running = False
+        self._wake.set()
+        if self._thread is not None:
+            self._thread.join(timeout=60.0)
+            self._thread = None
+
+    def signal(self):
+        self._idle.clear()
+        self._wake.set()
+
+    def wait_until_drained(self, timeout: float = 120.0) -> bool:
+        return self._idle.wait(timeout)
+
+    def _loop(self):
+        while self._running:
+            # slight chance of missing a signal otherwise -> timed wait,
+            # like the reference's 2000 ms timed_wait (SlamSystem.cpp:366)
+            fired = self._wake.wait(2.0)
+            self._wake.clear()
+            graph = self.backend._graph
+            if graph is None or graph.pose_graph.n_edges == 0:
+                self._idle.set()
+                continue
+            try:
+                changed = graph.optimize_slices()
+                if changed:
+                    self.backend._have_unmerged = True
+            finally:
+                if not self._wake.is_set():
+                    self._idle.set()

@@ -94,6 +94,46 @@ def test_slam_finds_nonparent_constraint(loop_seq):
         (e.first.id, e.second.id) for e in graph.edges]
 
 
+@pytest.mark.slow
+def test_async_slam_four_way_overlap(loop_seq):
+    """Async mode with the full 4-way overlap (tracking / mapping /
+    constraint search / optimization threads, SlamSystem.cpp:111-117):
+    the loop closure must land while tracking keeps running, and the idle
+    re-track worker (SlamSystem.cpp:275-310) must densify the edge set
+    beyond what arrival-time constraint search produced."""
+    import time
+
+    cam, imgs, deps, gt = loop_seq
+    cfg = slam_config()
+    cfg = cfg.replace(
+        system=dataclasses.replace(cfg.system, sequential=False),
+        keyframe=dataclasses.replace(cfg.keyframe, retrack_min_keyframes=3))
+    sys = SlamSystem(cam, cfg, enable_slam=True)
+    sys.gt_depth_init(imgs[0], deps[0], 0, 0.0)
+    for i in range(1, N):
+        sys.track_frame(imgs[i], i, i / 30.0)
+        sys.block_until_mapped(30.0)
+    assert sys.tracking_is_good
+    # give the idle re-track worker a window before finalizing
+    deadline = time.time() + 20.0
+    while (time.time() < deadline
+           and sys.stats.counters.get("retrack_attempts", 0) < 2):
+        time.sleep(0.2)
+    sys.finalize()
+
+    assert sys.stats.counters.get("retrack_attempts", 0) >= 1, \
+        dict(sys.stats.counters)
+    graph = sys.backend.graph
+    # loop closure landed: some accepted edge joins non-adjacent keyframes
+    idx = {kf.id: kf.idx_in_keyframes for kf in sys.keyframes}
+    nonparent = sum(
+        1 for e in graph.edges
+        if abs(idx.get(e.first.id, 0) - idx.get(e.second.id, 0)) > 1)
+    assert nonparent >= 1, [(e.first.id, e.second.id) for e in graph.edges]
+    err = ate_rmse(sys.trajectory_array(), gt)
+    assert err < 0.03, err
+
+
 def test_slam_relocalizes_after_manual_loss(loop_seq):
     """Inject manual tracking loss mid-sequence (the reference's 'l' hotkey,
     settings.cpp:154-157) and verify the batched relocalizer recovers:
