@@ -192,6 +192,9 @@ class SystemConfig:
     # re-run constraint search over every keyframe before the final
     # optimization (== doFullReConstraintTrack, SlamSystem.cpp:332-350)
     full_reconstraint_on_finalize: bool = False
+    # profiling mode: stage timers block until the device drains so the
+    # numbers are true per-stage device cost, not dispatch windows
+    profile_sync: bool = False
 
 
 @dataclass(frozen=True)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from lsd_slam_tpu import lie
 from lsd_slam_tpu.camera import Camera
 from lsd_slam_tpu.config import DepthFilterConfig, MappingConfig
-from lsd_slam_tpu.ops.interp import bilinear
+from lsd_slam_tpu.ops.interp import bilinear, quad_pack, quad_sample
 from lsd_slam_tpu.depth.state import DepthMapState
 
 _HI = jax.lax.Precision.HIGHEST
@@ -131,10 +131,14 @@ def line_stereo(xs, ys, prior_idepth, min_idepth, max_idepth, epxn, epyn,
     ok, code = fail(ok, code, oob_kf, ERR_OOB)
     ok, code = fail(ok, code, ~((rescale > 0.7) & (rescale < 1.4)), ERR_OOB)
 
-    # keyframe 5-tap descriptor
+    # keyframe 5-tap descriptor — quad-packed single-gather bilinear:
+    # gathers dominate this sweep (~9 ns per gathered row on v5e), and the
+    # quad layout needs ONE row per sample instead of four
+    kf_quad = quad_pack((kf_img,))
     real_vals = jnp.stack(
-        [bilinear(kf_img, xs + j * epxn * rescale, ys + j * epyn * rescale)
-         for j in (-2, -1, 0, 1, 2)], axis=-1)     # (h, w, 5)
+        [quad_sample(kf_quad, h, w, xs + j * epxn * rescale,
+                     ys + j * epyn * rescale)[0][0]
+         for j in (-2, -1, 0, 1, 2)], axis=-1)     # (..., 5)
 
     # near/far endpoints on the EPL in the ref image (DepthMap.cpp:1489-1512)
     p_close = p_inf + Kt * max_idepth[..., None]
@@ -212,10 +216,12 @@ def line_stereo(xs, ys, prior_idepth, min_idepth, max_idepth, epxn, epyn,
                        1, MAX_STEPS)
 
     # ---- sample lattice + 5-tap SSD over the masked search window ----
+    # one quad-gather per lattice sample (38 rows/point instead of 152)
     ms = jnp.arange(N_SAMPLES, dtype=jnp.float32) - 2.0   # (S,)
     qx = pfx[..., None] + ms * incx[..., None]
     qy = pfy[..., None] + ms * incy[..., None]
-    samp = bilinear(ref_img, qx, qy)                      # (h, w, S)
+    ref_quad = quad_pack((ref_img,))
+    samp = quad_sample(ref_quad, h, w, qx, qy)[0][0]      # (..., S)
 
     ee = jnp.zeros(xs.shape + (MAX_STEPS,), jnp.float32)
     for j in range(5):

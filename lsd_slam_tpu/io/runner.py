@@ -17,7 +17,7 @@ import numpy as np
 
 def parse_args(argv):
     args = {"hz": 0.0, "out": "lsd_out", "vo": False, "dump": False,
-            "checkpoint": None, "resume": None}
+            "checkpoint": None, "resume": None, "profile": None}
     for a in argv:
         if a.startswith("files:"):
             args["files"] = a[6:]
@@ -31,6 +31,10 @@ def parse_args(argv):
             args["checkpoint"] = a[11:]
         elif a.startswith("resume:"):
             args["resume"] = a[7:]
+        elif a.startswith("profile:"):
+            # device-truthful profiling: per-stage timers block until the
+            # device drains, and a jax.profiler trace lands in the dir
+            args["profile"] = a[8:]
         elif a == "vo":
             args["vo"] = True
         elif a == "dump":
@@ -57,6 +61,10 @@ def main(argv=None):
     if args["hz"] != 0.0:
         from lsd_slam_tpu.config import SystemConfig
         cfg = cfg.replace(system=SystemConfig(sequential=False))
+    if args["profile"]:
+        import dataclasses
+        cfg = cfg.replace(
+            system=dataclasses.replace(cfg.system, profile_sync=True))
     if args["resume"]:
         from lsd_slam_tpu.io.checkpoint import load_system
         system = load_system(args["resume"], cfg,
@@ -66,6 +74,12 @@ def main(argv=None):
     else:
         system = SlamSystem(cam, cfg, enable_slam=not args["vo"])
     out = FileOutput3DWrapper(args["out"])
+
+    profile_ctx = None
+    if args["profile"]:
+        import jax
+        profile_ctx = jax.profiler.trace(args["profile"])
+        profile_ctx.__enter__()
 
     t_start = time.time()
     n = 0
@@ -86,6 +100,9 @@ def main(argv=None):
                   f"kfs={len(system.keyframes)}", flush=True)
 
     system.finalize()
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
+        print(f"profiler trace -> {args['profile']}", flush=True)
     if args["checkpoint"]:
         from lsd_slam_tpu.io.checkpoint import save_system
         save_system(args["checkpoint"], system)

@@ -24,7 +24,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pick_tile_h(h: int) -> int:
-    for t in (128, 120, 96, 80, 64, 60, 48, 40, 32, 24, 20, 16, 12, 8):
+    # multiples of 8 only: the per-tile block load offset i*tile_h must be
+    # provably 8-aligned for Mosaic's vector loads (sublane granularity).
+    # Small tiles keep the unrolled 25-tap temporaries inside the ~16 MB
+    # scoped-VMEM stack (a 120-row tile at 640 px OOMs it).
+    for t in (32, 24, 16, 40, 8, 48, 64, 80, 96, 120, 128):
         if h % t == 0:
             return t
     return h
@@ -34,10 +38,19 @@ def _kernel(idp_ref, var_ref, val_ref, vdy_ref,
             o_sid, o_sivar, o_vsum, o_nocc, o_nnot,
             *, tile_h: int, w: int, reg_dist_var: float, diff_fac: float):
     i = pl.program_id(0)
-    r0 = i * tile_h
+    r0 = i * tile_h  # multiple of tile_h (itself a multiple of 8)
 
-    c_id = idp_ref[pl.ds(r0 + 2, tile_h), 2:2 + w]
-    c_var = var_ref[pl.ds(r0 + 2, tile_h), 2:2 + w]
+    # ONE aligned (tile_h+8)-row block load per plane; all 25 tap offsets
+    # become STATIC in-register slices of it. Mosaic rejects memory loads
+    # at dynamic offsets like r0+2+dy (not provably sublane-aligned).
+    rows = pl.ds(r0, tile_h + 8)
+    idp = idp_ref[rows, :]
+    var = var_ref[rows, :]
+    val = val_ref[rows, :]
+    vdy = vdy_ref[rows, :]
+
+    c_id = idp[2:2 + tile_h, 2:2 + w]
+    c_var = var[2:2 + tile_h, 2:2 + w]
 
     sid = jnp.zeros((tile_h, w), jnp.float32)
     sivar = jnp.zeros((tile_h, w), jnp.float32)
@@ -46,13 +59,13 @@ def _kernel(idp_ref, var_ref, val_ref, vdy_ref,
     nnot = jnp.zeros((tile_h, w), jnp.float32)
 
     for dy in range(-2, 3):
-        rows = pl.ds(r0 + 2 + dy, tile_h)
+        rsl = slice(2 + dy, 2 + dy + tile_h)
         for dx in range(-2, 3):
             cols = slice(2 + dx, 2 + dx + w)
-            s_id = idp_ref[rows, cols]
-            s_var = var_ref[rows, cols]
-            s_val = val_ref[rows, cols]
-            s_vdy = vdy_ref[rows, cols]
+            s_id = idp[rsl, cols]
+            s_var = var[rsl, cols]
+            s_val = val[rsl, cols]
+            s_vdy = vdy[rsl, cols]
 
             diff = s_id - c_id
             compatible = diff_fac * diff * diff <= s_var + c_var
@@ -92,7 +105,9 @@ def regularize_accumulators(idepth, var, valid_f, validity,
     zero-fill shifts."""
     h, w = idepth.shape
     tile_h = _pick_tile_h(h)
-    pad = ((2, 2), (2, 2))
+    # bottom pad of 6 (not 2): the last tile's aligned block load reads
+    # tile_h+8 rows starting at h-tile_h, i.e. up to padded row h+8
+    pad = ((2, 6), (2, 2))
     idp_p = jnp.pad(idepth, pad)
     var_p = jnp.pad(var, pad, constant_values=1.0)
     val_p = jnp.pad(valid_f, pad)

@@ -69,6 +69,20 @@ class SlamSystem:
                                   sigma2=cfg.mapping.camera_pixel_noise2,
                                   use_affine=cfg.tracker.use_affine_lighting)
         self.map = DepthMap(cam, cfg)
+        # pack the tracker scalars + observe stats + export scalars in ONE
+        # jitted dispatch: eager jnp ops on the per-frame path cost a full
+        # relay round-trip each on remote-attached TPUs (~60x a jitted
+        # dispatch), and this pack is the only per-frame host sync
+        import jax
+
+        self._pack_fn = jax.jit(
+            lambda hp, svals, mean, num: jnp.concatenate(
+                [hp, jnp.stack([jnp.asarray(v, jnp.float32) for v in svals]
+                               + [jnp.asarray(mean, jnp.float32),
+                                  jnp.asarray(num, jnp.float32)])]))
+        self._stats_pack_fn = jax.jit(
+            lambda svals: jnp.stack(
+                [jnp.asarray(v, jnp.float32) for v in svals]))
 
         self.registry = PoseRegistry()
         self.keyframes: List[Keyframe] = []   # == keyframesAll
@@ -88,7 +102,9 @@ class SlamSystem:
         self.tracking_last_usage = 0.0
         # observability (== RunningStats + EWMA stage timers, SURVEY 5.1/5.5)
         self.stats = RunningStats()
-        self.timers = StageTimers()
+        from lsd_slam_tpu.utils.stats import device_sync
+        self.timers = StageTimers(
+            sync=device_sync if cfg.system.profile_sync else None)
         # active-keyframe device-memory budget (== FrameMemory LRU;
         # reference keeps maxLoopClosureCandidates+20 active)
         self.frame_memory = KeyframeMemory(
@@ -218,16 +234,14 @@ class SlamSystem:
                     res.good_mask, res.initial_residual)
             export_dev = self.map.fresh_export_device()
             skeys = sorted(spec_stats)
-            pack = jnp.concatenate([
-                res.host_pack,
-                jnp.stack([jnp.asarray(spec_stats[k], jnp.float32)
-                           for k in skeys]
-                          + [jnp.asarray(export_dev[2], jnp.float32),
-                             jnp.asarray(export_dev[3], jnp.float32)])])
+            pack = self._pack_fn(
+                res.host_pack, tuple(spec_stats[k] for k in skeys),
+                export_dev[2], export_dev[3])
         else:
             pack = res.host_pack
 
         host = np.asarray(pack, np.float64)  # THE per-frame host sync
+        self.stats.bump("host_syncs")
         diverged = bool(host[HP["diverged"]])
         tracking_good = bool(host[HP["tracking_good"]])
         point_usage = float(host[HP["point_usage"]])
@@ -338,8 +352,8 @@ class SlamSystem:
                 jnp.asarray(tracked.good_mask),
                 tracked.initial_tracked_residual)
         skeys = sorted(obs_stats)
-        svals = np.asarray(jnp.stack(  # one pull for all counters
-            [jnp.asarray(obs_stats[k], jnp.float32) for k in skeys]))
+        svals = np.asarray(self._stats_pack_fn(  # one pull for all counters
+            tuple(obs_stats[k] for k in skeys)))
         self.stats.add("observe", dict(zip(skeys, svals)))
         kf.num_mapped_on_this += 1
         kf.num_mapped_on_this_total += 1
@@ -482,5 +496,14 @@ class SlamSystem:
     # ------------------------------------------------------------- export
 
     def trajectory_array(self) -> np.ndarray:
-        """(N, 8) camToWorld Sim3 per tracked frame (for ATE evaluation)."""
+        """(N, 8) camToWorld Sim3 per tracked frame, as logged AT TRACK
+        TIME (the reference's estimated_poses.txt semantics,
+        LiveSLAMWrapper.cpp:141-161)."""
         return np.stack([p for _, _, p in self.trajectory])
+
+    def optimized_trajectory_array(self) -> np.ndarray:
+        """(N, 8) camToWorld Sim3 per tracked frame RECOMPUTED through the
+        pose tree after graph optimization — unlike trajectory_array, past
+        frames reflect merged PGO results (ATE-after-PGO evaluation)."""
+        return np.stack([node.cam_to_world()
+                         for node in self.all_frame_poses])

@@ -38,21 +38,40 @@ class RunningStats:
         return "; ".join(f"{k}={self.counters[k]:.0f}" for k in items)
 
 
+def device_sync():
+    """Barrier for profiling: a trivial computation enqueued after pending
+    work completes only once that work has drained (single-stream order),
+    so wall-clock around it measures device time, not dispatch time."""
+    import jax.numpy as jnp
+    jnp.zeros(()).block_until_ready()
+
+
 class StageTimers:
     """EWMA wall-clock per stage (SlamSystem.h:115-118, DepthMap.h:87-93:
-    ms = 0.9*ms + 0.1*dt)."""
+    ms = 0.9*ms + 0.1*dt).
 
-    def __init__(self, alpha: float = 0.9):
+    By default the timers measure host dispatch windows (cheap, async-
+    friendly — like the reference's gettimeofday pairs). With a `sync`
+    callable (profiling mode, SystemConfig.profile_sync) every stage exit
+    blocks until the device drained, so the numbers are true per-stage
+    device cost (SURVEY section 5.1)."""
+
+    def __init__(self, alpha: float = 0.9, sync=None):
         self.alpha = alpha
+        self.sync = sync
         self.ms: Dict[str, float] = defaultdict(float)
         self.n: Dict[str, int] = defaultdict(int)
 
     @contextmanager
     def time(self, stage: str):
+        if self.sync is not None:
+            self.sync()
         t0 = time.perf_counter()
         try:
             yield
         finally:
+            if self.sync is not None:
+                self.sync()
             dt = (time.perf_counter() - t0) * 1000.0
             if self.n[stage] == 0:
                 self.ms[stage] = dt

@@ -128,6 +128,24 @@ def orbit_trajectory(n_frames: int, radius: float = 0.10,
     return np.stack(poses)
 
 
+def loop_trajectory(n_frames: int, span: float = 0.55,
+                    yaw_amp: float = 0.06) -> np.ndarray:
+    """Out-and-back loop-closing trajectory (n, 7) w2c: the camera slides
+    right and returns, so late frames revisit early views — drift
+    accumulated on the way out is observable as loop-closure error."""
+    poses = []
+    for i in range(n_frames):
+        a = i / max(n_frames - 1, 1)
+        x = span * np.sin(np.pi * a)
+        yaw = yaw_amp * np.sin(2 * np.pi * a)
+        t = np.asarray(lie.se3_exp(jnp.asarray(
+            [0, 0, 0, 0, yaw, 0], jnp.float32)))
+        c2w = np.concatenate(
+            [t[0:4], [x, 0.0, 0.015 * np.sin(np.pi * a)]]).astype(np.float32)
+        poses.append(np.asarray(lie.se3_inverse(jnp.asarray(c2w))))
+    return np.stack(poses)
+
+
 def make_sequence(n_frames: int = 30, width: int = 320, height: int = 240,
                   seed: int = 0):
     """Convenience: (camera, images[n,h,w], depths[n,h,w], poses_w2c[n,7])."""
