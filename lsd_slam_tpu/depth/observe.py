@@ -29,8 +29,16 @@ import jax.numpy as jnp
 from lsd_slam_tpu import lie
 from lsd_slam_tpu.camera import Camera
 from lsd_slam_tpu.config import DepthFilterConfig, MappingConfig
-from lsd_slam_tpu.ops.interp import bilinear, quad_pack, quad_sample
+from lsd_slam_tpu.ops.interp import (bilinear, quad_pack, quad_sample,
+                                      patch16_pack, patch16_sample)
 from lsd_slam_tpu.depth.state import DepthMapState
+
+# Stat-counter names `observe` returns, in the sorted order hosts use to
+# unpack the fused scalar vector (must match the dict built at the bottom
+# of `observe`).
+OBSERVE_STAT_KEYS = ("active", "blacklisted", "created", "inconsistent",
+                     "killed", "oob", "processed", "update_failed",
+                     "updated")
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -131,14 +139,18 @@ def line_stereo(xs, ys, prior_idepth, min_idepth, max_idepth, epxn, epyn,
     ok, code = fail(ok, code, oob_kf, ERR_OOB)
     ok, code = fail(ok, code, ~((rescale > 0.7) & (rescale < 1.4)), ERR_OOB)
 
-    # keyframe 5-tap descriptor — quad-packed single-gather bilinear:
-    # gathers dominate this sweep (~9 ns per gathered row on v5e), and the
-    # quad layout needs ONE row per sample instead of four
-    kf_quad = quad_pack((kf_img,))
+    # keyframe 5-tap descriptor — patch16 grouped bilinear: gathers
+    # dominate this sweep and cost per gathered ROW, so taps are grouped
+    # {-2,-1} {0,1} {2} (spacing <= 1.4 px/axis always shares a 4x4 patch)
+    # for 3 row-gathers instead of 5
+    kf_patch = patch16_pack(kf_img)
+    tap_j = jnp.asarray([[-2.0, -1.0], [0.0, 1.0], [2.0, 2.0]], jnp.float32)
+    tap_x = xs[..., None, None] + tap_j * (epxn * rescale)[..., None, None]
+    tap_y = ys[..., None, None] + tap_j * (epyn * rescale)[..., None, None]
+    taps = patch16_sample(kf_patch, h, w, tap_x, tap_y)    # (..., 3, 2)
     real_vals = jnp.stack(
-        [quad_sample(kf_quad, h, w, xs + j * epxn * rescale,
-                     ys + j * epyn * rescale)[0][0]
-         for j in (-2, -1, 0, 1, 2)], axis=-1)     # (..., 5)
+        [taps[..., 0, 0], taps[..., 0, 1], taps[..., 1, 0],
+         taps[..., 1, 1], taps[..., 2, 0]], axis=-1)       # (..., 5)
 
     # near/far endpoints on the EPL in the ref image (DepthMap.cpp:1489-1512)
     p_close = p_inf + Kt * max_idepth[..., None]
@@ -216,12 +228,17 @@ def line_stereo(xs, ys, prior_idepth, min_idepth, max_idepth, epxn, epyn,
                        1, MAX_STEPS)
 
     # ---- sample lattice + 5-tap SSD over the masked search window ----
-    # one quad-gather per lattice sample (38 rows/point instead of 152)
-    ms = jnp.arange(N_SAMPLES, dtype=jnp.float32) - 2.0   # (S,)
-    qx = pfx[..., None] + ms * incx[..., None]
-    qy = pfy[..., None] + ms * incy[..., None]
-    ref_quad = quad_pack((ref_img,))
-    samp = quad_sample(ref_quad, h, w, qx, qy)[0][0]      # (..., S)
+    # patch16 grouped bilinear: lattice spacing is exactly 1 px
+    # (|inc| = gradient_sample_dist), so 3 consecutive samples always
+    # share a 4x4 patch — one row-gather per TRIPLE instead of per sample
+    n_groups = -(-N_SAMPLES // 3)
+    ms = (jnp.arange(n_groups * 3, dtype=jnp.float32)
+          .reshape(n_groups, 3) - 2.0)                    # (G, 3)
+    qx = pfx[..., None, None] + ms * incx[..., None, None]
+    qy = pfy[..., None, None] + ms * incy[..., None, None]
+    ref_patch = patch16_pack(ref_img)
+    samp = patch16_sample(ref_patch, h, w, qx, qy)        # (..., G, 3)
+    samp = samp.reshape(samp.shape[:-2] + (n_groups * 3,))[..., :N_SAMPLES]
 
     ee = jnp.zeros(xs.shape + (MAX_STEPS,), jnp.float32)
     for j in range(5):

@@ -26,6 +26,7 @@ from lsd_slam_tpu.camera import Camera
 from lsd_slam_tpu.config import LSDConfig
 from lsd_slam_tpu.frames import build_frame
 from lsd_slam_tpu.depth import DepthMap
+from lsd_slam_tpu.depth.observe import OBSERVE_STAT_KEYS
 from lsd_slam_tpu.tracking import SE3Tracker
 from lsd_slam_tpu.tracking.se3_tracker import HOST_PACK as HP
 from lsd_slam_tpu.system.poses import PoseNode, PoseRegistry
@@ -69,20 +70,43 @@ class SlamSystem:
                                   sigma2=cfg.mapping.camera_pixel_noise2,
                                   use_affine=cfg.tracker.use_affine_lighting)
         self.map = DepthMap(cam, cfg)
-        # pack the tracker scalars + observe stats + export scalars in ONE
-        # jitted dispatch: eager jnp ops on the per-frame path cost a full
-        # relay round-trip each on remote-attached TPUs (~60x a jitted
-        # dispatch), and this pack is the only per-frame host sync
         import jax
 
-        self._pack_fn = jax.jit(
-            lambda hp, svals, mean, num: jnp.concatenate(
-                [hp, jnp.stack([jnp.asarray(v, jnp.float32) for v in svals]
-                               + [jnp.asarray(mean, jnp.float32),
-                                  jnp.asarray(num, jnp.float32)])]))
         self._stats_pack_fn = jax.jit(
             lambda svals: jnp.stack(
                 [jnp.asarray(v, jnp.float32) for v in svals]))
+
+        # The WHOLE per-frame hot path — pyramid build, pyramidal SE3 track,
+        # speculative observe sweep (+ fill-holes/regularize), depth export
+        # and the scalar host pack — fused into ONE jitted program. Issuing
+        # these as separate stage programs costs a dispatch round-trip each
+        # on remote-attached TPUs; the frame then pays ~8 RTTs instead of
+        # one dispatch + one blocking scalar pull. (This is the jit-of-jit
+        # composition of tracker/observe programs — XLA inlines them.)
+        levels = cfg.system.pyramid_levels
+        ming = cfg.mapping.min_use_grad
+        tracker_fn = self.tracker._fn
+        observe_fn = self.map._observe
+
+        @jax.jit
+        def _frame_step(state, ref, kf_img, kf_gx, kf_gy, kf_max_grad,
+                        image, scalars):
+            pyr = build_frame(image, levels, ming)
+            res = tracker_fn(ref, pyr, scalars[0:7])
+            state2, stats, export = observe_fn(
+                state, kf_img, kf_gx, kf_gy, kf_max_grad, pyr.images[0],
+                res.frame_to_ref, scalars[7], res.good_mask,
+                res.initial_residual, scalars[8])
+            skeys = sorted(stats)
+            pack = jnp.concatenate(
+                [res.host_pack,
+                 jnp.stack([jnp.asarray(stats[k], jnp.float32)
+                            for k in skeys]
+                           + [jnp.asarray(export[2], jnp.float32),
+                              jnp.asarray(export[3], jnp.float32)])])
+            return pyr, res, state2, export, pack
+
+        self._frame_step = _frame_step
 
         self.registry = PoseRegistry()
         self.keyframes: List[Keyframe] = []   # == keyframesAll
@@ -189,11 +213,10 @@ class SlamSystem:
         """Track one frame; in sequential mode also runs the mapping
         iteration (== trackFrame + blockUntilMapped,
         SlamSystem.cpp:890-1040)."""
-        pyr = build_frame(jnp.asarray(image, jnp.float32),
-                          self.cfg.system.pyramid_levels,
-                          self.cfg.mapping.min_use_grad)
-
         if not self.tracking_is_good:
+            pyr = build_frame(jnp.asarray(image, jnp.float32),
+                              self.cfg.system.pyramid_levels,
+                              self.cfg.mapping.min_use_grad)
             self._attempt_relocalization(pyr, frame_id, timestamp)
             return None
 
@@ -206,19 +229,14 @@ class SlamSystem:
             nps.sim3_mul(nps.sim3_inverse(kf.pose.cam_to_world()),
                          last_node.cam_to_world()))
 
-        with self.timers.time("track"):
-            res = self.tracker.track(kf.tracking_ref, pyr,
-                                     jnp.asarray(init_f2r, jnp.float32))
-
-        # --- speculative mapping dispatch (sequential mode) ---
-        # The observe sweep's only data dependency on the track is the
-        # DEVICE-side relative pose, so in the common case (update current
-        # keyframe, no switch) it is enqueued before the host ever syncs;
-        # the whole frame then costs ONE device->host transfer (the packed
-        # scalar vector). Tracking loss is rare — if the pulled scalars
-        # say lost, the functional depth state simply rolls back.
+        # --- speculative fused frame step (sequential mode) ---
+        # The common case (update current keyframe, no switch) runs the
+        # WHOLE frame — pyramid build, track, observe sweep, export, scalar
+        # pack — as ONE fused device program followed by ONE blocking
+        # device->host transfer (the packed scalar vector). Tracking loss
+        # is rare — if the pulled scalars say lost, the functional depth
+        # state simply rolls back.
         spec_snap = None
-        spec_stats = None
         speculate = (self.cfg.system.sequential and not my_create_flag
                      and self.map.is_valid())
         if speculate:
@@ -228,16 +246,29 @@ class SlamSystem:
             kf.num_frames_tracked_on_this += 1
             self.map.num_frames_tracked_on_this = \
                 kf.num_frames_tracked_on_this
-            with self.timers.time("map_observe"):
-                spec_stats = self.map.update_keyframe(
-                    kf.pyr, pyr.images[0], res.frame_to_ref, float(frame_id),
-                    res.good_mask, res.initial_residual)
-            export_dev = self.map.fresh_export_device()
-            skeys = sorted(spec_stats)
-            pack = self._pack_fn(
-                res.host_pack, tuple(spec_stats[k] for k in skeys),
-                export_dev[2], export_dev[3])
+            # adaptive skip increment (DepthMap.cpp:449-452)
+            skip_inc = max(
+                3.0, self.map.num_frames_tracked_on_this
+                / float(self.map.num_mapped_on_this + 5))
+            scalars = np.concatenate(
+                [np.asarray(init_f2r, np.float32),
+                 np.asarray([frame_id, skip_inc], np.float32)])
+            with self.timers.time("frame_step"):
+                pyr, res, new_state, export_dev, pack = self._frame_step(
+                    self.map.state, kf.tracking_ref, kf.pyr.images[0],
+                    kf.pyr.gx[0], kf.pyr.gy[0], kf.pyr.max_grad[0],
+                    jnp.asarray(image, jnp.float32), scalars)
+            self.map.state = new_state
+            self.map._fresh_export = None
+            self.map.num_mapped_on_this += 1
+            skeys = list(OBSERVE_STAT_KEYS)
         else:
+            pyr = build_frame(jnp.asarray(image, jnp.float32),
+                              self.cfg.system.pyramid_levels,
+                              self.cfg.mapping.min_use_grad)
+            with self.timers.time("track"):
+                res = self.tracker.track(kf.tracking_ref, pyr,
+                                         jnp.asarray(init_f2r, jnp.float32))
             pack = res.host_pack
 
         host = np.asarray(pack, np.float64)  # THE per-frame host sync

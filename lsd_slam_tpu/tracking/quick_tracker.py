@@ -16,6 +16,7 @@ Also provides the batched variant: one frame against N keyframes at once
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -45,7 +46,15 @@ class QuickTracker:
         self.cam = cam
         self.cfg = cfg
         self.sigma2 = float(sigma2)
-        self.level = cfg.quick_kf_check_level
+        # Resolution-adaptive quick-check level: the reference's constant
+        # QUICK_KF_CHECK_LVL=4 (settings.h:101) assumes 640x480 input, where
+        # the level-4 image is 40x30. At smaller inputs the same constant
+        # collapses the quick check onto a ~10px image whose pose estimates
+        # blow past the 0.09-rad reciprocal-consistency gate
+        # (SlamSystem.cpp:1307). Pick the level whose width is closest to
+        # the reference's 40px operating point instead.
+        lvl = int(round(math.log2(max(cam.width, 40) / 40.0)))
+        self.level = max(1, min(cfg.quick_kf_check_level, lvl))
         self._track1 = jax.jit(self._impl)
         # batched: level-l slices of (stacked) refs vs one frame
         self._trackN = jax.jit(jax.vmap(self._impl,
