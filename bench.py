@@ -3,21 +3,32 @@
 Headline metric = FULL pipeline fps (pyramid build + pyramidal SE3 track +
 speculative observe sweep + EKF fuse + keyframe switches with propagate /
 regularize / fill-holes + Sim3 constraint search + PGO) over a 300-frame
-loop-closing synthetic sequence, sequential (hz=0) mode — the metric the
-reference's "real-time semi-dense SLAM" headline is about (README.md:3-4,
-235; vs_baseline = fps / 30, the required input rate).
+loop-closing synthetic sequence — the metric the reference's "real-time
+semi-dense SLAM" headline is about (README.md:3-4, 235; vs_baseline =
+fps / 30, the required input rate).
 
-extras carries the supporting evidence:
-  * se3_tracking_fps_640x480 — the round-1/2 tracker-only number;
-  * per-stage device ms (profile_sync run: track / observe / finalize);
-  * host_syncs_per_frame — must be 1.0 on non-switch frames;
+Measurement design (round 4): every engine program lives in a module-level
+cache keyed on (camera, config) — see system/warmup.py — so the warm run
+compiles the whole program set ONCE and the timed runs (fresh engine
+instances, as production restarts would be) execute fully hot. The timed
+numbers contain zero trace/compile:
+  * e2e fps both in sequential (hz=0, deterministic) and async (the
+    reference's threaded production configuration) modes;
+  * worst_frame_ms + p50/p95 per-frame latency of the timed run;
+  * kf_switch_ms: median/max wall time of frames that performed a keyframe
+    switch (finalize + propagate + constraint search + PGO inline in
+    sequential mode; bounded by the worker threads in async mode);
+  * per-stage device-truthful ms (profile_sync run) as steady-state
+    medians — first-call compile samples are excluded by StageTimers;
+  * host_syncs_per_frame — 1.0 on non-switch frames by design;
   * ate_before_pgo / ate_after_pgo — trajectory error at track time vs
-    recomputed through the optimized pose graph (loop closure evidence);
-  * keyframes, constraint edges of the run.
+    recomputed through the optimized pose graph (loop-closure evidence);
+  * keyframes / constraint edges of the run.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -33,6 +44,7 @@ import jax.numpy as jnp
 
 W, H = 640, 480
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "300"))
+NOISE = float(os.environ.get("BENCH_NOISE", "1.5"))
 
 
 def bench_tracker_only(extras):
@@ -72,42 +84,56 @@ def make_loop_images():
     from lsd_slam_tpu.utils import synth
 
     cam = synth.default_camera(W, H)
-    scene = synth.PlaneScene(seed=0)
-    poses = synth.loop_trajectory(N_FRAMES)
+    scene = synth.BenchScene(seed=0)
+    poses = synth.bench_trajectory(N_FRAMES)
     # render on device; keep frames in HBM (the input pipeline hands the
     # engine device arrays, as a real capture pipeline on TPU would)
     imgs = []
     dep0 = None
     for i in range(N_FRAMES):
-        img, dep = synth.render(scene, cam, jnp.asarray(poses[i]))
+        img, dep = synth.render_realistic(scene, cam, jnp.asarray(poses[i]),
+                                          frame_index=i, noise_sigma=NOISE)
         imgs.append(img)
         if i == 0:
             dep0 = np.asarray(dep)
     return cam, imgs, dep0, poses
 
 
-def run_slam(cam, imgs, dep0, gt_poses, profile_sync):
-    import dataclasses
+def base_config(profile_sync=False, sequential=True):
     from lsd_slam_tpu.config import LSDConfig
-    from lsd_slam_tpu.system import SlamSystem
-    from lsd_slam_tpu.utils.evaluate import ate_rmse
-    from lsd_slam_tpu.utils.stats import device_sync
 
     cfg = LSDConfig(width=W, height=H)
-    cfg = cfg.replace(system=dataclasses.replace(
-        cfg.system, profile_sync=profile_sync))
+    return cfg.replace(system=dataclasses.replace(
+        cfg.system, profile_sync=profile_sync, sequential=sequential))
+
+
+def run_slam(cam, imgs, dep0, gt_poses, cfg):
+    """One full run; returns (system, per-frame wall times, switch flags,
+    total wall seconds including queue drain)."""
+    from lsd_slam_tpu.system import SlamSystem
+    from lsd_slam_tpu.utils.stats import device_sync
+
     sys_ = SlamSystem(cam, cfg, enable_slam=True)
     sys_.gt_depth_init(np.asarray(imgs[0]), dep0, 0, 0.0)
-    t0 = time.perf_counter()
+    frame_ms = []
+    switched = []
+    t_start = time.perf_counter()
+    kf_id = sys_.current_keyframe.id
     for i in range(1, N_FRAMES):
+        t0 = time.perf_counter()
         sys_.track_frame(imgs[i], i, i / 30.0)
-    # make sure all device work drained before stopping the clock
+        frame_ms.append((time.perf_counter() - t0) * 1000.0)
+        new_id = (sys_.current_keyframe.id
+                  if sys_.current_keyframe is not None else kf_id)
+        switched.append(new_id != kf_id)
+        kf_id = new_id
+    if sys_.mapping_thread is not None:
+        sys_.block_until_mapped(120.0)
+        if sys_.backend is not None:
+            sys_.backend.wait_until_drained(120.0)
     device_sync()
-    dt = time.perf_counter() - t0
-    traj = sys_.trajectory_array()
-    ate_before = ate_rmse(traj, gt_poses[:len(traj)])
-    sys_.finalize()
-    return sys_, dt, ate_before
+    total_s = time.perf_counter() - t_start
+    return sys_, np.asarray(frame_ms), np.asarray(switched), total_s
 
 
 def main():
@@ -115,32 +141,57 @@ def main():
     bench_tracker_only(extras)
 
     cam, imgs, dep0, poses = make_loop_images()
-
-    # warm run: compiles every engine program AND records device-truthful
-    # per-stage ms (profile_sync mode)
-    sys_warm, _, _ = run_slam(cam, imgs, dep0, poses, profile_sync=True)
-    for stage, ms in sorted(sys_warm.timers.ms.items()):
-        extras[f"stage_ms_{stage}"] = round(ms, 2)
-
-    # timed run: everything compiled, async dispatch (production mode)
-    sys_, dt, ate_before = run_slam(cam, imgs, dep0, poses,
-                                    profile_sync=False)
-    fps = (N_FRAMES - 1) / dt
-
     from lsd_slam_tpu.utils.evaluate import ate_rmse
-    ate_after = ate_rmse(sys_.optimized_trajectory_array(),
-                         poses[:len(sys_.all_frame_poses)])
 
-    frames = sys_.stats.counters.get("frames_tracked", 1)
+    # ---- warm run: compiles every program into the shared module-level
+    # caches AND records device-truthful per-stage steady-state medians
+    t0 = time.perf_counter()
+    sys_warm, _, _, _ = run_slam(cam, imgs, dep0, poses,
+                                 base_config(profile_sync=True))
+    extras["warm_run_s"] = round(time.perf_counter() - t0, 1)
+    for stage in sorted(sys_warm.timers.n):
+        extras[f"stage_ms_{stage}"] = round(sys_warm.timers.median(stage), 2)
+    sys_warm.finalize()
+
+    # ---- timed sequential run (hz=0 deterministic mode): fresh engine,
+    # fully hot from the shared caches
+    sys_seq, fms_seq, sw_seq, total_seq = run_slam(
+        cam, imgs, dep0, poses, base_config())
+    extras["seq_fps"] = round((N_FRAMES - 1) / total_seq, 2)
+    extras["seq_worst_frame_ms"] = round(float(fms_seq.max()), 1)
+    if sw_seq.any():
+        extras["seq_kf_switch_ms"] = round(
+            float(np.median(fms_seq[sw_seq])), 1)
+    traj = sys_seq.trajectory_array()
+    ate_before = ate_rmse(traj, poses[:len(traj)])
+    sys_seq.finalize()
+    ate_after = ate_rmse(sys_seq.optimized_trajectory_array(),
+                         poses[:len(sys_seq.all_frame_poses)])
+
+    # ---- timed async run (production configuration: tracking || mapping
+    # || constraint search || optimization threads)
+    sys_a, fms_a, sw_a, total_a = run_slam(
+        cam, imgs, dep0, poses, base_config(sequential=False))
+    fps = (N_FRAMES - 1) / total_a
+    extras["worst_frame_ms"] = round(float(fms_a.max()), 1)
+    extras["p50_frame_ms"] = round(float(np.percentile(fms_a, 50)), 2)
+    extras["p95_frame_ms"] = round(float(np.percentile(fms_a, 95)), 2)
+    if sw_a.any():
+        extras["kf_switch_ms"] = round(float(np.median(fms_a[sw_a])), 1)
+        extras["kf_switch_max_ms"] = round(float(fms_a[sw_a].max()), 1)
+    sys_a.finalize()
+
+    frames = sys_seq.stats.counters.get("frames_tracked", 1)
     extras["host_syncs_per_frame"] = round(
-        sys_.stats.counters.get("host_syncs", 0) / max(frames, 1), 3)
+        sys_seq.stats.counters.get("host_syncs", 0) / max(frames, 1), 3)
     extras["ate_before_pgo"] = round(float(ate_before), 5) \
         if ate_before is not None else None
     extras["ate_after_pgo"] = round(float(ate_after), 5)
-    extras["keyframes"] = len(sys_.keyframes)
-    extras["constraint_edges"] = (sys_.backend.graph.pose_graph.n_edges
-                                  if sys_.backend is not None else 0)
+    extras["keyframes"] = len(sys_seq.keyframes)
+    extras["constraint_edges"] = (sys_seq.backend.graph.pose_graph.n_edges
+                                  if sys_seq.backend is not None else 0)
     extras["n_frames"] = N_FRAMES
+    extras["noise_sigma"] = NOISE
     extras["devices"] = len(jax.devices())
 
     print(json.dumps({

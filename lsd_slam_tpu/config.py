@@ -220,5 +220,20 @@ class LSDConfig:
     def replace(self, **kw) -> "LSDConfig":
         return dataclasses.replace(self, **kw)
 
+    def program_key(self) -> "LSDConfig":
+        """Canonical config for the module-level program caches.
+
+        Jitted program CONTENT depends on the geometry/numerics fields
+        (dims, tracker/depth/mapping configs, pyramid levels) — not on
+        runtime orchestration switches like profile_sync, sequential mode
+        or PGO slice scheduling. Keying the caches on this canonical form
+        lets a profiling run, a sequential run and an async run of the
+        same engine share one compiled program set instead of recompiling
+        ~50 s of programs per toggle."""
+        return dataclasses.replace(
+            self,
+            keyframe=KeyframeConfig(),
+            system=SystemConfig(pyramid_levels=self.system.pyramid_levels))
+
 
 DEFAULT_CONFIG = LSDConfig()

@@ -25,159 +25,182 @@ from lsd_slam_tpu.depth import observe as observe_mod
 from lsd_slam_tpu.depth import regularize as reg_mod
 
 
+import collections
+
+DepthPrograms = collections.namedtuple(
+    "DepthPrograms", ["observe", "create_kf", "finalize", "init_random",
+                      "init_gt", "export", "set_from_existing"])
+
+
+@functools.lru_cache(maxsize=None)
+def get_depth_programs(cam: Camera, cfg: LSDConfig) -> DepthPrograms:
+    """Shared program cache: ONE set of traced depth-sweep programs per
+    (camera, config), reused by every DepthMap / SlamSystem instance —
+    per-instance closures would re-trace the observe/propagate/regularize
+    pipelines (the most expensive traces in the engine) on every engine
+    construction."""
+    dcfg, mcfg = cfg.depth, cfg.mapping
+    # tracker good-mask arrives at the tracker's min level and is
+    # upsampled on device ((x >> lvl) indexing, DepthMap.cpp:322-329) —
+    # it never round-trips through the host
+    mask_f = 1 << cfg.tracker.min_level
+
+    def _upsample_mask(small):
+        if small.shape == (cfg.height, cfg.width):
+            return small
+        return jnp.repeat(jnp.repeat(small, mask_f, axis=0),
+                          mask_f, axis=1)
+
+    def _export_arrays(state):
+        # Frame::setDepth (Frame.cpp:199-243): export smoothed values
+        ok = state.valid & (state.idepth_smoothed >= -0.05)
+        idepth0 = jnp.where(ok, state.idepth_smoothed, -1.0)
+        ivar0 = jnp.where(ok, state.var_smoothed, -1.0)
+        num = jnp.maximum(jnp.sum(ok), 1)
+        mean_idepth = jnp.sum(
+            jnp.where(ok, state.idepth_smoothed, 0.0)) / num
+        return idepth0, ivar0, mean_idepth, jnp.sum(ok)
+
+    @jax.jit
+    def _observe(state, kf_img, kf_gx, kf_gy, kf_max_grad, ref_img,
+                 ref_to_kf, ref_id, good_mask, tracking_residual,
+                 skip_inc):
+        state, stats = observe_mod.observe(
+            state, kf_img, kf_gx, kf_gy, kf_max_grad, ref_img, ref_to_kf,
+            ref_id, _upsample_mask(good_mask), tracking_residual,
+            skip_inc, cam, dcfg, mcfg)
+        # post-observe sequence (updateKeyframe, DepthMap.cpp:1129-1153):
+        # fill holes then regularize(keep), then the depth export fused
+        # into the same program (one dispatch per mapping iteration)
+        state = reg_mod.fill_holes(state, kf_max_grad, dcfg,
+                                   mcfg.min_use_grad)
+        state = reg_mod.regularize(state, False, dcfg.val_sum_min_for_keep,
+                                   dcfg, mcfg.depth_smoothing_factor)
+        state = state.canonical()
+        return state, stats, _export_arrays(state)
+
+    @functools.partial(jax.jit, static_argnames=("have_good_mask",))
+    def _create_kf(state, old_to_new, kf_img, new_img, new_max_grad,
+                   good_mask, have_good_mask):
+        # createKeyFrame sequence (DepthMap.cpp:1222-1306)
+        state = reg_mod.propagate(state, old_to_new, kf_img, new_img,
+                                  new_max_grad, _upsample_mask(good_mask),
+                                  have_good_mask, cam, dcfg, mcfg)
+        state = reg_mod.regularize(state, True, dcfg.val_sum_min_for_keep,
+                                   dcfg, mcfg.depth_smoothing_factor)
+        state = reg_mod.fill_holes(state, new_max_grad, dcfg,
+                                   mcfg.min_use_grad)
+        state = reg_mod.regularize(state, False, dcfg.val_sum_min_for_keep,
+                                   dcfg, mcfg.depth_smoothing_factor)
+        # renormalize mean inverse depth to 1 (DepthMap.cpp:1285-1306)
+        m = state.valid.astype(jnp.float32)
+        num = jnp.maximum(jnp.sum(m), 1.0)
+        mean_id = jnp.sum(jnp.where(state.valid, state.idepth_smoothed,
+                                    0.0)) / num
+        rescale = 1.0 / jnp.maximum(mean_id, 1e-6)
+        r2 = rescale * rescale
+        state = state.replace(
+            idepth=jnp.where(state.valid, state.idepth * rescale,
+                             state.idepth),
+            idepth_smoothed=jnp.where(state.valid,
+                                      state.idepth_smoothed * rescale,
+                                      state.idepth_smoothed),
+            var=jnp.where(state.valid, state.var * r2, state.var),
+            var_smoothed=jnp.where(state.valid, state.var_smoothed * r2,
+                                   state.var_smoothed),
+        )
+        return state.canonical(), rescale
+
+    @jax.jit
+    def _finalize(state, kf_max_grad):
+        # finalizeKeyFrame (DepthMap.cpp:1363-1390)
+        state = reg_mod.fill_holes(state, kf_max_grad, dcfg,
+                                   mcfg.min_use_grad)
+        state = reg_mod.regularize(state, False, dcfg.val_sum_min_for_keep,
+                                   dcfg, mcfg.depth_smoothing_factor)
+        return state.canonical()
+
+    @jax.jit
+    def _init_random(key, kf_max_grad):
+        h, w = cfg.height, cfg.width
+        idepth = jax.random.uniform(key, (h, w), jnp.float32, 0.5, 1.5)
+        interior = jnp.zeros((h, w), bool).at[1:-1, 1:-1].set(True)
+        valid = interior & (kf_max_grad > mcfg.min_use_grad)
+        return DepthMapState(
+            valid=valid,
+            idepth=jnp.where(valid, idepth, 0.0),
+            var=jnp.where(valid, dcfg.var_random_init_initial, 0.0),
+            # initializeRandomly seeds smoothed values directly
+            # (DepthMap.cpp:897-903 uses the 5-arg ctor)
+            idepth_smoothed=jnp.where(valid, idepth, -1.0),
+            var_smoothed=jnp.where(valid, dcfg.var_random_init_initial,
+                                   -1.0),
+            validity=jnp.where(valid, 20.0, 0.0),
+            blacklisted=jnp.zeros((h, w), jnp.int32),
+            next_min_id=jnp.zeros((h, w), jnp.float32),
+        ).canonical()
+
+    @jax.jit
+    def _init_gt(gt_idepth, kf_max_grad):
+        h, w = cfg.height, cfg.width
+        interior = jnp.zeros((h, w), bool).at[1:-1, 1:-1].set(True)
+        valid = interior & (kf_max_grad > mcfg.min_use_grad) & (gt_idepth > 0)
+        return DepthMapState(
+            valid=valid,
+            idepth=jnp.where(valid, gt_idepth, 0.0),
+            var=jnp.where(valid, dcfg.var_gt_init_initial, 0.0),
+            idepth_smoothed=jnp.where(valid, gt_idepth, -1.0),
+            var_smoothed=jnp.where(valid, dcfg.var_gt_init_initial, -1.0),
+            validity=jnp.where(valid, 20.0, 0.0),
+            blacklisted=jnp.zeros((h, w), jnp.int32),
+            next_min_id=jnp.zeros((h, w), jnp.float32),
+        ).canonical()
+
+    _export = jax.jit(_export_arrays)
+
+    @jax.jit
+    def _set_from_existing(re_idepth, re_var, re_validity):
+        # setFromExistingKF (DepthMap.cpp:920-962)
+        valid = re_var > 0
+        state = DepthMapState(
+            valid=valid,
+            idepth=jnp.where(valid, re_idepth, 0.0),
+            var=jnp.where(valid, re_var, 0.0),
+            idepth_smoothed=jnp.full_like(re_idepth, -1.0),
+            var_smoothed=jnp.full_like(re_idepth, -1.0),
+            validity=jnp.where(valid, re_validity, 0.0),
+            blacklisted=jnp.where(
+                ~valid & (re_var == -2.0),
+                jnp.int32(dcfg.min_blacklist - 1), jnp.int32(0)),
+            next_min_id=jnp.zeros_like(re_idepth),
+        )
+        return reg_mod.regularize(state, False, dcfg.val_sum_min_for_keep,
+                                  dcfg, mcfg.depth_smoothing_factor).canonical()
+
+
+    return DepthPrograms(
+        observe=_observe, create_kf=_create_kf, finalize=_finalize,
+        init_random=_init_random, init_gt=_init_gt, export=_export,
+        set_from_existing=_set_from_existing)
+
+
 class DepthMap:
     """Semi-dense depth filter bound to one camera/config.
 
-    All jitted programs are built once in __init__ and reused across
-    keyframes (static shapes)."""
+    All jitted programs come from the shared `get_depth_programs` cache
+    (static shapes; traced once process-wide per camera/config)."""
 
     def __init__(self, cam: Camera, cfg: LSDConfig):
         self.cam = cam
         self.cfg = cfg
-        dcfg, mcfg = cfg.depth, cfg.mapping
-        # tracker good-mask arrives at the tracker's min level and is
-        # upsampled on device ((x >> lvl) indexing, DepthMap.cpp:322-329) —
-        # it never round-trips through the host
-        mask_f = 1 << cfg.tracker.min_level
-
-        def _upsample_mask(small):
-            if small.shape == (cfg.height, cfg.width):
-                return small
-            return jnp.repeat(jnp.repeat(small, mask_f, axis=0),
-                              mask_f, axis=1)
-
-        def _export_arrays(state):
-            # Frame::setDepth (Frame.cpp:199-243): export smoothed values
-            ok = state.valid & (state.idepth_smoothed >= -0.05)
-            idepth0 = jnp.where(ok, state.idepth_smoothed, -1.0)
-            ivar0 = jnp.where(ok, state.var_smoothed, -1.0)
-            num = jnp.maximum(jnp.sum(ok), 1)
-            mean_idepth = jnp.sum(
-                jnp.where(ok, state.idepth_smoothed, 0.0)) / num
-            return idepth0, ivar0, mean_idepth, jnp.sum(ok)
-
-        @jax.jit
-        def _observe(state, kf_img, kf_gx, kf_gy, kf_max_grad, ref_img,
-                     ref_to_kf, ref_id, good_mask, tracking_residual,
-                     skip_inc):
-            state, stats = observe_mod.observe(
-                state, kf_img, kf_gx, kf_gy, kf_max_grad, ref_img, ref_to_kf,
-                ref_id, _upsample_mask(good_mask), tracking_residual,
-                skip_inc, cam, dcfg, mcfg)
-            # post-observe sequence (updateKeyframe, DepthMap.cpp:1129-1153):
-            # fill holes then regularize(keep), then the depth export fused
-            # into the same program (one dispatch per mapping iteration)
-            state = reg_mod.fill_holes(state, kf_max_grad, dcfg,
-                                       mcfg.min_use_grad)
-            state = reg_mod.regularize(state, False, dcfg.val_sum_min_for_keep,
-                                       dcfg, mcfg.depth_smoothing_factor)
-            return state, stats, _export_arrays(state)
-
-        @functools.partial(jax.jit, static_argnames=("have_good_mask",))
-        def _create_kf(state, old_to_new, kf_img, new_img, new_max_grad,
-                       good_mask, have_good_mask):
-            # createKeyFrame sequence (DepthMap.cpp:1222-1306)
-            state = reg_mod.propagate(state, old_to_new, kf_img, new_img,
-                                      new_max_grad, _upsample_mask(good_mask),
-                                      have_good_mask, cam, dcfg, mcfg)
-            state = reg_mod.regularize(state, True, dcfg.val_sum_min_for_keep,
-                                       dcfg, mcfg.depth_smoothing_factor)
-            state = reg_mod.fill_holes(state, new_max_grad, dcfg,
-                                       mcfg.min_use_grad)
-            state = reg_mod.regularize(state, False, dcfg.val_sum_min_for_keep,
-                                       dcfg, mcfg.depth_smoothing_factor)
-            # renormalize mean inverse depth to 1 (DepthMap.cpp:1285-1306)
-            m = state.valid.astype(jnp.float32)
-            num = jnp.maximum(jnp.sum(m), 1.0)
-            mean_id = jnp.sum(jnp.where(state.valid, state.idepth_smoothed,
-                                        0.0)) / num
-            rescale = 1.0 / jnp.maximum(mean_id, 1e-6)
-            r2 = rescale * rescale
-            state = state.replace(
-                idepth=jnp.where(state.valid, state.idepth * rescale,
-                                 state.idepth),
-                idepth_smoothed=jnp.where(state.valid,
-                                          state.idepth_smoothed * rescale,
-                                          state.idepth_smoothed),
-                var=jnp.where(state.valid, state.var * r2, state.var),
-                var_smoothed=jnp.where(state.valid, state.var_smoothed * r2,
-                                       state.var_smoothed),
-            )
-            return state, rescale
-
-        @jax.jit
-        def _finalize(state, kf_max_grad):
-            # finalizeKeyFrame (DepthMap.cpp:1363-1390)
-            state = reg_mod.fill_holes(state, kf_max_grad, dcfg,
-                                       mcfg.min_use_grad)
-            state = reg_mod.regularize(state, False, dcfg.val_sum_min_for_keep,
-                                       dcfg, mcfg.depth_smoothing_factor)
-            return state
-
-        @jax.jit
-        def _init_random(key, kf_max_grad):
-            h, w = cfg.height, cfg.width
-            idepth = jax.random.uniform(key, (h, w), jnp.float32, 0.5, 1.5)
-            interior = jnp.zeros((h, w), bool).at[1:-1, 1:-1].set(True)
-            valid = interior & (kf_max_grad > mcfg.min_use_grad)
-            return DepthMapState(
-                valid=valid,
-                idepth=jnp.where(valid, idepth, 0.0),
-                var=jnp.where(valid, dcfg.var_random_init_initial, 0.0),
-                # initializeRandomly seeds smoothed values directly
-                # (DepthMap.cpp:897-903 uses the 5-arg ctor)
-                idepth_smoothed=jnp.where(valid, idepth, -1.0),
-                var_smoothed=jnp.where(valid, dcfg.var_random_init_initial,
-                                       -1.0),
-                validity=jnp.where(valid, 20.0, 0.0),
-                blacklisted=jnp.zeros((h, w), jnp.int32),
-                next_min_id=jnp.zeros((h, w), jnp.float32),
-            )
-
-        @jax.jit
-        def _init_gt(gt_idepth, kf_max_grad):
-            h, w = cfg.height, cfg.width
-            interior = jnp.zeros((h, w), bool).at[1:-1, 1:-1].set(True)
-            valid = interior & (kf_max_grad > mcfg.min_use_grad) & (gt_idepth > 0)
-            return DepthMapState(
-                valid=valid,
-                idepth=jnp.where(valid, gt_idepth, 0.0),
-                var=jnp.where(valid, dcfg.var_gt_init_initial, 0.0),
-                idepth_smoothed=jnp.where(valid, gt_idepth, -1.0),
-                var_smoothed=jnp.where(valid, dcfg.var_gt_init_initial, -1.0),
-                validity=jnp.where(valid, 20.0, 0.0),
-                blacklisted=jnp.zeros((h, w), jnp.int32),
-                next_min_id=jnp.zeros((h, w), jnp.float32),
-            )
-
-        _export = jax.jit(_export_arrays)
-
-        @jax.jit
-        def _set_from_existing(re_idepth, re_var, re_validity):
-            # setFromExistingKF (DepthMap.cpp:920-962)
-            valid = re_var > 0
-            state = DepthMapState(
-                valid=valid,
-                idepth=jnp.where(valid, re_idepth, 0.0),
-                var=jnp.where(valid, re_var, 0.0),
-                idepth_smoothed=jnp.full_like(re_idepth, -1.0),
-                var_smoothed=jnp.full_like(re_idepth, -1.0),
-                validity=jnp.where(valid, re_validity, 0.0),
-                blacklisted=jnp.where(
-                    ~valid & (re_var == -2.0),
-                    jnp.int32(dcfg.min_blacklist - 1), jnp.int32(0)),
-                next_min_id=jnp.zeros_like(re_idepth),
-            )
-            return reg_mod.regularize(state, False, dcfg.val_sum_min_for_keep,
-                                      dcfg, mcfg.depth_smoothing_factor)
-
-        self._observe = _observe
-        self._create_kf = _create_kf
-        self._finalize = _finalize
-        self._init_random = _init_random
-        self._init_gt = _init_gt
-        self._export = _export
-        self._set_from_existing_jit = _set_from_existing
+        progs = get_depth_programs(cam, cfg.program_key())
+        self._observe = progs.observe
+        self._create_kf = progs.create_kf
+        self._finalize = progs.finalize
+        self._init_random = progs.init_random
+        self._init_gt = progs.init_gt
+        self._export = progs.export
+        self._set_from_existing_jit = progs.set_from_existing
 
         self.state: Optional[DepthMapState] = None
         self._fresh_export = None

@@ -29,8 +29,7 @@ import jax.numpy as jnp
 from lsd_slam_tpu import lie
 from lsd_slam_tpu.camera import Camera
 from lsd_slam_tpu.config import DepthFilterConfig, MappingConfig
-from lsd_slam_tpu.ops.interp import (bilinear, quad_pack, quad_sample,
-                                      patch16_pack, patch16_sample)
+from lsd_slam_tpu.ops.interp import patch16_pack, patch16_sample
 from lsd_slam_tpu.depth.state import DepthMapState
 
 # Stat-counter names `observe` returns, in the sorted order hosts use to
@@ -103,6 +102,14 @@ def line_stereo(xs, ys, prior_idepth, min_idepth, max_idepth, epxn, epyn,
     lattice only on active semi-dense pixels (~15% of the grid) is the
     single biggest mapping optimization.
     """
+    # patch16 grouped sampling packs each 3-sample lattice triple (plus the
+    # 2-px descriptor pair) into one 4x4 gather window; that only
+    # interpolates (never extrapolates) while consecutive samples are
+    # <= ~1.4 px apart, i.e. gradient_sample_dist <= 1.0.
+    assert dcfg.gradient_sample_dist <= 1.0, (
+        "patch16 grouped EPL sampling requires gradient_sample_dist <= 1.0 "
+        f"(got {dcfg.gradient_sample_dist}); larger spacings would make "
+        "patch16_sample extrapolate with negative weights")
     h, w = kf_img.shape
 
     R_k2r = lie.quat_to_matrix(kf_to_ref[0:4])

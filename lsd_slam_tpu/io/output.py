@@ -38,19 +38,31 @@ class Output3DWrapper:
 
 
 class FileOutput3DWrapper(Output3DWrapper):
-    """Streams keyframes as npz + graph/pose updates as jsonl."""
+    """Streams keyframes as npz + graph/pose updates as jsonl.
 
-    def __init__(self, out_dir: str):
+    A live viewer (lsd_slam_tpu.viewer.live) tails the directory like the
+    reference viewer subscribes to the keyframe/graph topics."""
+
+    def __init__(self, out_dir: str, cam=None):
         self.out_dir = out_dir
+        self.cam = cam
         os.makedirs(out_dir, exist_ok=True)
         self._pose_f = open(os.path.join(out_dir, "poses.jsonl"), "w")
         self._graph_f = open(os.path.join(out_dir, "graph.jsonl"), "w")
 
     def publish_keyframe(self, kf) -> None:
         """== keyframeMsg: id, time, camToWorld, intrinsics, dense
-        idepth/var/color (ROSOutput3DWrapper.cpp:70-112)."""
+        idepth/var/color (ROSOutput3DWrapper.cpp:70-112). Written to a
+        temp file then renamed so a tailing viewer never reads a partial
+        npz."""
+        intr = {}
+        if self.cam is not None:
+            intr = dict(fx=self.cam.fx, fy=self.cam.fy,
+                        cx=self.cam.cx, cy=self.cam.cy)
+        path = os.path.join(self.out_dir, f"kf_{kf.id:06d}.npz")
+        tmp = path + ".tmp.npz"
         np.savez_compressed(
-            os.path.join(self.out_dir, f"kf_{kf.id:06d}.npz"),
+            tmp,
             id=kf.id,
             time=kf.timestamp,
             cam_to_world=kf.pose.cam_to_world(),
@@ -59,7 +71,9 @@ class FileOutput3DWrapper(Output3DWrapper):
             color=np.asarray(kf.pyr.images[0]),
             mean_idepth=kf.mean_idepth,
             num_points=kf.num_points,
+            **intr,
         )
+        os.replace(tmp, path)
 
     def publish_tracked_frame(self, frame_id, timestamp, cam_to_world) -> None:
         self._pose_f.write(json.dumps({

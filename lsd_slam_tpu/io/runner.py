@@ -73,7 +73,8 @@ def main(argv=None):
               f"{len(system.keyframes)} keyframes", flush=True)
     else:
         system = SlamSystem(cam, cfg, enable_slam=not args["vo"])
-    out = FileOutput3DWrapper(args["out"])
+    out = FileOutput3DWrapper(args["out"], cam=cam)
+    system.set_visualization(out)
 
     profile_ctx = None
     if args["profile"]:

@@ -135,3 +135,54 @@ def se3_log(g):
         wmat = eye + (m @ wmat) / (k + 1)
     ups = np.linalg.solve(wmat, g[..., 4:7][..., None])[..., 0]
     return np.concatenate([ups, omega], axis=-1)
+
+
+def so3_exp(omega):
+    """Axis-angle (..., 3) -> unit quaternion (..., 4), f64."""
+    omega = np.asarray(omega, np.float64)
+    theta = np.linalg.norm(omega, axis=-1, keepdims=True)
+    half = 0.5 * theta
+    small = theta < 1e-9
+    k = np.where(small, 0.5 - theta ** 2 / 48.0,
+                 np.sin(half) / np.maximum(theta, _EPS))
+    w = np.where(small, 1.0 - theta ** 2 / 8.0, np.cos(half))
+    return np.concatenate([w, k * omega], axis=-1)
+
+
+def _w_matrix_np(omega, sigma, n_terms: int = 20):
+    """W = sum_k M^k/(k+1)! with M = sigma*I + hat(omega), f64 Horner
+    (mirrors lie.groups._w_matrix)."""
+    omega = np.asarray(omega, np.float64)
+    wx, wy, wz = omega[..., 0], omega[..., 1], omega[..., 2]
+    z = np.zeros_like(wx)
+    hat = np.stack([
+        np.stack([z, -wz, wy], -1),
+        np.stack([wz, z, -wx], -1),
+        np.stack([-wy, wx, z], -1)], -2)
+    eye = np.broadcast_to(np.eye(3), hat.shape)
+    m = np.asarray(sigma)[..., None, None] * eye + hat
+    w = eye.copy()
+    for k in range(n_terms, 0, -1):
+        w = eye + (m @ w) / float(k + 1)
+    return w
+
+
+def sim3_exp(tangent):
+    """Sim3 exp (..., 7) [upsilon, omega, sigma] -> (..., 8), f64
+    (mirrors lie.groups.sim3_exp for host-side graph math)."""
+    tangent = np.asarray(tangent, np.float64)
+    ups, omega, sigma = tangent[..., 0:3], tangent[..., 3:6], tangent[..., 6]
+    q = so3_exp(omega)
+    s = np.exp(sigma)
+    t = np.einsum("...ij,...j->...i", _w_matrix_np(omega, sigma), ups)
+    return np.concatenate([q, t, s[..., None]], axis=-1)
+
+
+def se3_exp(tangent):
+    """SE3 exp (..., 6) [upsilon, omega] -> (..., 7), f64."""
+    tangent = np.asarray(tangent, np.float64)
+    ups, omega = tangent[..., 0:3], tangent[..., 3:6]
+    q = so3_exp(omega)
+    t = np.einsum("...ij,...j->...i",
+                  _w_matrix_np(omega, np.zeros(omega.shape[:-1])), ups)
+    return np.concatenate([q, t], axis=-1)

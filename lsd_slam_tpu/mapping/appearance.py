@@ -125,22 +125,49 @@ def _score_rotations(queries, descs):
                    axis=0)
 
 
+@jax.jit
+def _append_row(mat, i, desc):
+    """Device-side in-place-style append into the padded descriptor
+    matrix — no host rebuild, no host->device retransfer of the store."""
+    return mat.at[i].set(desc)
+
+
+@jax.jit
+def _query_scores(mat, img, gx, gy, thetas):
+    """Fused query: R roll descriptors + ONE (R,D)x(D,N) matmul.
+    One dispatch, one (N,) pull."""
+    q = jax.vmap(lambda t: _descriptor_at(img, gx, gy, t))(thetas)
+    return _score_rotations(q, mat)
+
+
 class AppearanceIndex:
-    """Keyframe descriptor store + rotation-marginalized matmul retrieval."""
+    """Keyframe descriptor store + rotation-marginalized matmul retrieval.
+
+    Scale design (the reference runs up to ~1000 keyframes,
+    README.md:313-314): the descriptor matrix lives ON DEVICE in a
+    power-of-two-padded buffer; `add` is one jitted row-set (no O(N*D)
+    rebuild), capacity growth is a rare pad-copy, and a query is one fused
+    program + one (N,) host pull regardless of N. Temporal exclusion is by
+    keyframe INSERTION index (not frame-id spacing, which guesses the
+    keyframe cadence)."""
 
     def __init__(self, accept_score: float = 0.6, ratio: float = 1.08,
-                 min_id_gap: int = 3, level: int = 2,
-                 n_rotations: int = N_ROTATIONS):
+                 min_index_gap: int = 5, level: int = 2,
+                 n_rotations: int = N_ROTATIONS, initial_capacity: int = 32):
         self.accept_score = accept_score
         self.ratio = ratio
-        self.min_id_gap = min_id_gap
+        self.min_index_gap = min_index_gap
         self.level = level
         self._thetas = jnp.asarray(
             np.linspace(0.0, 2 * np.pi, n_rotations, endpoint=False),
             jnp.float32)
         self._ids: List[int] = []
-        self._descs: List[np.ndarray] = []
-        self._mat: Optional[jnp.ndarray] = None
+        self._index_of = {}                    # kf_id -> insertion index
+        self._capacity = initial_capacity
+        self._mat: Optional[jnp.ndarray] = None  # (capacity, D) padded
+
+    def __len__(self) -> int:
+        return len(self._ids)
 
     def compute_descriptor(self, pyr) -> np.ndarray:
         l = self.level
@@ -149,29 +176,50 @@ class AppearanceIndex:
 
     def add(self, kf_id: int, pyr) -> None:
         """== FabMap::compareAndAdd's add half (FabMap.cpp:126-204)."""
+        l = self.level
+        desc = _descriptor_at(pyr.images[l], pyr.gx[l], pyr.gy[l],
+                              jnp.float32(0.0))
+        i = len(self._ids)
+        if self._mat is None:
+            self._mat = jnp.zeros((self._capacity, desc.shape[0]),
+                                  jnp.float32)
+        if i >= self._capacity:
+            self._capacity *= 2
+            self._mat = jnp.concatenate(
+                [self._mat, jnp.zeros_like(self._mat)], axis=0)
+        self._mat = _append_row(self._mat, i, desc)
+        self._index_of[kf_id] = i
         self._ids.append(kf_id)
-        self._descs.append(self.compute_descriptor(pyr))
-        self._mat = None  # rebuild lazily
 
     def query(self, pyr, query_id: int) -> Optional[int]:
         """Best-matching keyframe id, or None if no confident match."""
-        if len(self._ids) < 2:
+        n = len(self._ids)
+        if n < 2:
             return None
-        if self._mat is None:
-            self._mat = jnp.asarray(np.stack(self._descs))
         l = self.level
-        q = _descriptor_rotations(pyr.images[l], pyr.gx[l], pyr.gy[l],
-                                  self._thetas)
-        scores = np.asarray(_score_rotations(q, self._mat))
-        # exclude temporal neighbors (appearance matches of the immediate
-        # past are not loop closures)
+        scores = np.array(_query_scores(self._mat, pyr.images[l],
+                                        pyr.gx[l], pyr.gy[l],
+                                        self._thetas))[:n]
+        # exclude temporally-near keyframes (appearance matches of the
+        # immediate past are not loop closures). For a keyframe IN the
+        # index the exclusion is exact by insertion order; for an unknown
+        # query frame the window is min_index_gap keyframe intervals, with
+        # the interval MEASURED from the index's own id spacing (round 3
+        # hard-coded a x8 cadence guess here)
+        qi = self._index_of.get(query_id)
         ids = np.asarray(self._ids)
-        scores = np.where(np.abs(ids - query_id) < self.min_id_gap * 8,
-                          -1.0, scores)
+        if qi is not None:
+            lo = max(0, qi - self.min_index_gap)
+            hi = min(n, qi + self.min_index_gap + 1)
+            scores[lo:hi] = -1.0
+        else:
+            cadence = float(np.median(np.diff(ids))) if n > 1 else 1.0
+            window = self.min_index_gap * max(cadence, 1.0)
+            scores[np.abs(ids - query_id) < window] = -1.0
         order = np.argsort(scores)[::-1]
         best, second = order[0], (order[1] if len(order) > 1 else order[0])
         if scores[best] < self.accept_score:
             return None
         if scores[second] > 0 and scores[best] < self.ratio * scores[second]:
             return None  # ambiguous place
-        return int(ids[best])
+        return int(self._ids[best])

@@ -99,6 +99,14 @@ class MappingBackend:
                 needs_publish = True
         if needs_publish:
             self.system.registry.invalidate_all()
+            if self.system.output is not None:
+                # == publishKeyframeGraph after the merge
+                # (SlamSystem.cpp:198-200): poses-only update — viewers
+                # re-pose their cached point buffers without re-receiving
+                # points (KeyFrameGraphDisplay.cpp:158-208)
+                self.system.output.publish_keyframe_graph(
+                    self.system.keyframes,
+                    self._graph.edges if self._graph is not None else [])
         self._have_unmerged = False
 
     def refresh_permaref(self, kf):

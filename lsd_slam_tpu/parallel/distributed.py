@@ -80,17 +80,31 @@ def _edge_blocks(poses, efrom, eto, meas_inv, info, huber_delta):
     return AtWA, AtWr, chi2
 
 
+@functools.lru_cache(maxsize=None)
 def distributed_pgo_normal_equations(mesh: Mesh, n_vertices: int):
     """Returns a jitted fn assembling H, g with edges sharded over the mesh.
 
     Inputs: poses (N, 8) replicated; edge arrays (E, ...) sharded on axis 0
     (E must divide by mesh size — pad with zero-information self-edges).
-    Output: H (7N, 7N), g (7N), chi2 sum — fully replicated after psum.
-    """
+    Output: H (7N, 7N), g (7N), chi2 sum — fully replicated.
+
+    Collective design: each chip computes the 7x7 GN blocks for ITS edge
+    slice, then the per-edge blocks are all_gather'ed — O(E*49) traffic —
+    and every chip assembles the dense H redundantly (cheap scatter-adds).
+    Round 3 psum-reduced the assembled (N, N, 7, 7) H instead, which moves
+    O(N^2*49) per step and made the 8-device path 2.2x SLOWER than one
+    device; for real graphs E << N^2 (E ~ 10N), so gathering blocks is the
+    right collective."""
 
     def local_assemble(poses, efrom, eto, meas_inv, info, huber_delta):
         AtWA, AtWr, chi2 = _edge_blocks(poses, efrom, eto, meas_inv, info,
                                         huber_delta)
+        # gather the edge axis back: every chip gets all E blocks
+        AtWA = jax.lax.all_gather(AtWA, AXIS, tiled=True)
+        AtWr = jax.lax.all_gather(AtWr, AXIS, tiled=True)
+        chi2 = jax.lax.all_gather(chi2, AXIS, tiled=True)
+        efrom = jax.lax.all_gather(efrom, AXIS, tiled=True)
+        eto = jax.lax.all_gather(eto, AXIS, tiled=True)
         H = jnp.zeros((n_vertices, n_vertices, 7, 7), jnp.float32)
         g = jnp.zeros((n_vertices, 7), jnp.float32)
         H = H.at[efrom, efrom].add(AtWA)
@@ -99,10 +113,7 @@ def distributed_pgo_normal_equations(mesh: Mesh, n_vertices: int):
         H = H.at[eto, efrom].add(-AtWA)
         g = g.at[efrom].add(-AtWr)
         g = g.at[eto].add(AtWr)
-        # the ICI reduction: every chip contributes its edge slice
-        H = jax.lax.psum(H, AXIS)
-        g = jax.lax.psum(g, AXIS)
-        chi2_sum = jax.lax.psum(jnp.sum(chi2), AXIS)
+        chi2_sum = jnp.sum(chi2)
         Hd = H.transpose(0, 2, 1, 3).reshape(n_vertices * 7, n_vertices * 7)
         return Hd, g.reshape(-1), chi2_sum
 
@@ -110,10 +121,12 @@ def distributed_pgo_normal_equations(mesh: Mesh, n_vertices: int):
         local_assemble, mesh=mesh,
         in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
         out_specs=(P(), P(), P()),
+        check_rep=False,
     )
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=None)
 def distributed_pgo_step(mesh: Mesh, n_vertices: int):
     """One damped GN step fully on-device: assemble (sharded) + dense solve
     (replicated) + vertex update. The solve is replicated rather than
@@ -140,6 +153,7 @@ def distributed_pgo_step(mesh: Mesh, n_vertices: int):
     return step
 
 
+@functools.lru_cache(maxsize=None)
 def distributed_pgo_cg_step(mesh: Mesh, n_vertices: int,
                             max_cg_iters: int = 250):
     """One damped-GN step solved matrix-free by block-Jacobi PCG with the
@@ -230,13 +244,13 @@ def distributed_pgo_cg_step(mesh: Mesh, n_vertices: int,
 # sharded batched coarse tracking (candidate scoring / relocalization)
 # ---------------------------------------------------------------------------
 
-def sharded_quick_track(mesh: Mesh, quick_tracker):
-    """Wrap QuickTracker's batched track so the candidate axis shards over
-    the mesh: each chip tracks its slice of keyframes against the same
-    (replicated) query frame."""
+@functools.lru_cache(maxsize=None)
+def _sharded_quick_track_cached(mesh, cam, cfg, sigma2, level):
+    from lsd_slam_tpu.tracking.quick_tracker import _quick_impl
+    impl = functools.partial(_quick_impl, cam, cfg, sigma2, level)
 
     def local(refs, frame_level, inits):
-        res = jax.vmap(quick_tracker._impl, in_axes=(0, None, 0))(
+        res = jax.vmap(impl, in_axes=(0, None, 0))(
             refs, frame_level, inits)
         return (res.ref_to_frame, res.tracking_good, res.point_usage,
                 res.good_count, res.bad_count)
@@ -254,14 +268,23 @@ def sharded_quick_track(mesh: Mesh, quick_tracker):
     return jax.jit(fn)
 
 
-def sharded_quick_track_frames(mesh: Mesh, quick_tracker):
-    """The reciprocal direction: ONE reference point set (replicated)
-    tracked against a mesh-sharded batch of frame quad layouts — the
-    second half of the close-candidate reciprocal SE3 pre-check
-    (SlamSystem.cpp:1283-1310) runs one shard of candidates per chip."""
+def sharded_quick_track(mesh: Mesh, quick_tracker):
+    """Wrap the quick tracker's batched track so the candidate axis shards
+    over the mesh: each chip tracks its slice of keyframes against the same
+    (replicated) query frame. Cached process-wide on
+    (mesh, camera, config, sigma2, level)."""
+    return _sharded_quick_track_cached(
+        mesh, quick_tracker.cam, quick_tracker.cfg, quick_tracker.sigma2,
+        quick_tracker.level)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_quick_track_frames_cached(mesh, cam, cfg, sigma2, level):
+    from lsd_slam_tpu.tracking.quick_tracker import _quick_impl
+    impl = functools.partial(_quick_impl, cam, cfg, sigma2, level)
 
     def local(ref_pts, frames, inits):
-        res = jax.vmap(quick_tracker._impl, in_axes=(None, 0, 0))(
+        res = jax.vmap(impl, in_axes=(None, 0, 0))(
             ref_pts, frames, inits)
         return (res.ref_to_frame, res.tracking_good, res.point_usage,
                 res.good_count, res.bad_count)
@@ -273,3 +296,14 @@ def sharded_quick_track_frames(mesh: Mesh, quick_tracker):
         check_rep=False,
     )
     return jax.jit(fn)
+
+
+def sharded_quick_track_frames(mesh: Mesh, quick_tracker):
+    """The reciprocal direction: ONE reference point set (replicated)
+    tracked against a mesh-sharded batch of frame quad layouts — the
+    second half of the close-candidate reciprocal SE3 pre-check
+    (SlamSystem.cpp:1283-1310) runs one shard of candidates per chip.
+    Cached process-wide like `sharded_quick_track`."""
+    return _sharded_quick_track_frames_cached(
+        mesh, quick_tracker.cam, quick_tracker.cfg, quick_tracker.sigma2,
+        quick_tracker.level)

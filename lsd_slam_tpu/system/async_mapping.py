@@ -71,8 +71,11 @@ class MappingThread:
                     self._idle.set()
                 continue
             try:
-                sys.latest_tracked = tracked
-                sys.do_mapping_iteration()
+                # pass the popped frame explicitly — latest_tracked belongs
+                # to the tracking thread; writing it here could overwrite a
+                # fresher frame published between pop and mapping, making a
+                # keyframe promotion pick a stale frame
+                sys.do_mapping_iteration(tracked)
             finally:
                 if self.queue.size() == 0:
                     self._idle.set()

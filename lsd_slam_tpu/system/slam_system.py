@@ -14,6 +14,7 @@ citations). Sim(3) constraint search + pose-graph optimization hook in via
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import List, Optional
 
@@ -56,6 +57,60 @@ class TrackedFrame:
         self.parent_kf_id = parent_kf_id
 
 
+@functools.lru_cache(maxsize=None)
+def _get_stats_pack():
+    import jax
+    return jax.jit(
+        lambda svals: jnp.stack([jnp.asarray(v, jnp.float32) for v in svals]))
+
+
+@functools.lru_cache(maxsize=None)
+def _get_frame_step(cam: Camera, cfg: LSDConfig):
+    """The WHOLE per-frame hot path — pyramid build, pyramidal SE3 track,
+    speculative observe sweep (+ fill-holes/regularize), depth export and
+    the scalar host pack — fused into ONE jitted program. Issuing these as
+    separate stage programs costs a dispatch round-trip each on
+    remote-attached TPUs; the frame then pays ~8 RTTs instead of one
+    dispatch + one blocking scalar pull. (This is the jit-of-jit
+    composition of tracker/observe programs — XLA inlines them.)
+
+    Cached at module level keyed on (camera, config): every SlamSystem
+    with the same key shares one traced program, so constructing a fresh
+    engine (bench runs, resets, multiple sessions) never re-traces."""
+    import jax
+    from lsd_slam_tpu.tracking.se3_tracker import get_se3_program
+    from lsd_slam_tpu.depth.depth_map import get_depth_programs
+
+    levels = cfg.system.pyramid_levels
+    ming = cfg.mapping.min_use_grad
+    tracker_fn = get_se3_program(cam, cfg.tracker,
+                                 cfg.mapping.camera_pixel_noise2,
+                                 cfg.tracker.use_affine_lighting)
+    observe_fn = get_depth_programs(cam, cfg).observe
+
+    @jax.jit
+    def _frame_step(state, ref, kf_img, kf_gx, kf_gy, kf_max_grad,
+                    image, scalars):
+        pyr = build_frame(image, levels, ming)
+        res = tracker_fn(ref, pyr, scalars[0:7])
+        state2, stats, export = observe_fn(
+            state, kf_img, kf_gx, kf_gy, kf_max_grad, pyr.images[0],
+            res.frame_to_ref, scalars[7], res.good_mask,
+            res.initial_residual, scalars[8])
+        # pack order is defined ONCE by OBSERVE_STAT_KEYS (the host
+        # unpacks with the same tuple); a stat key missing from the
+        # observe dict fails loudly at trace time
+        pack = jnp.concatenate(
+            [res.host_pack,
+             jnp.stack([jnp.asarray(stats[k], jnp.float32)
+                        for k in OBSERVE_STAT_KEYS]
+                       + [jnp.asarray(export[2], jnp.float32),
+                          jnp.asarray(export[3], jnp.float32)])])
+        return pyr, res, state2, export, pack
+
+    return _frame_step
+
+
 class SlamSystem:
     def __init__(self, cam: Camera, cfg: LSDConfig = LSDConfig(),
                  enable_slam: bool = True, seed: int = 0):
@@ -70,43 +125,15 @@ class SlamSystem:
                                   sigma2=cfg.mapping.camera_pixel_noise2,
                                   use_affine=cfg.tracker.use_affine_lighting)
         self.map = DepthMap(cam, cfg)
-        import jax
+        self._stats_pack_fn = _get_stats_pack()
+        # program caches key on the CANONICAL config: toggling runtime
+        # switches (profile_sync, sequential, keyframe thresholds) must
+        # not recompile the program set
+        self._frame_step = _get_frame_step(cam, cfg.program_key())
 
-        self._stats_pack_fn = jax.jit(
-            lambda svals: jnp.stack(
-                [jnp.asarray(v, jnp.float32) for v in svals]))
-
-        # The WHOLE per-frame hot path — pyramid build, pyramidal SE3 track,
-        # speculative observe sweep (+ fill-holes/regularize), depth export
-        # and the scalar host pack — fused into ONE jitted program. Issuing
-        # these as separate stage programs costs a dispatch round-trip each
-        # on remote-attached TPUs; the frame then pays ~8 RTTs instead of
-        # one dispatch + one blocking scalar pull. (This is the jit-of-jit
-        # composition of tracker/observe programs — XLA inlines them.)
-        levels = cfg.system.pyramid_levels
-        ming = cfg.mapping.min_use_grad
-        tracker_fn = self.tracker._fn
-        observe_fn = self.map._observe
-
-        @jax.jit
-        def _frame_step(state, ref, kf_img, kf_gx, kf_gy, kf_max_grad,
-                        image, scalars):
-            pyr = build_frame(image, levels, ming)
-            res = tracker_fn(ref, pyr, scalars[0:7])
-            state2, stats, export = observe_fn(
-                state, kf_img, kf_gx, kf_gy, kf_max_grad, pyr.images[0],
-                res.frame_to_ref, scalars[7], res.good_mask,
-                res.initial_residual, scalars[8])
-            skeys = sorted(stats)
-            pack = jnp.concatenate(
-                [res.host_pack,
-                 jnp.stack([jnp.asarray(stats[k], jnp.float32)
-                            for k in skeys]
-                           + [jnp.asarray(export[2], jnp.float32),
-                              jnp.asarray(export[3], jnp.float32)])])
-            return pyr, res, state2, export, pack
-
-        self._frame_step = _frame_step
+        # == SlamSystem::setVisualization (SlamSystem.h:84): optional
+        # Output3DWrapper the engine publishes keyframes/graph updates to
+        self.output = None
 
         self.registry = PoseRegistry()
         self.keyframes: List[Keyframe] = []   # == keyframesAll
@@ -154,6 +181,12 @@ class SlamSystem:
             self.mapping_thread.start()
 
     # ------------------------------------------------------------- helpers
+
+    def set_visualization(self, output) -> None:
+        """== SlamSystem::setVisualization: attach an Output3DWrapper; the
+        engine then publishes each keyframe at finalize time and graph pose
+        updates after optimization merges."""
+        self.output = output
 
     def _new_pose_node(self, frame_id: int) -> PoseNode:
         node = PoseNode(frame_id, self.registry)
@@ -261,7 +294,6 @@ class SlamSystem:
             self.map.state = new_state
             self.map._fresh_export = None
             self.map.num_mapped_on_this += 1
-            skeys = list(OBSERVE_STAT_KEYS)
         else:
             pyr = build_frame(jnp.asarray(image, jnp.float32),
                               self.cfg.system.pyramid_levels,
@@ -331,9 +363,9 @@ class SlamSystem:
 
         if speculate:
             # commit the speculative observe
-            n_stats = len(skeys)
+            n_stats = len(OBSERVE_STAT_KEYS)
             svals = host[len(res.host_pack):len(res.host_pack) + n_stats]
-            self.stats.add("observe", dict(zip(skeys, svals)))
+            self.stats.add("observe", dict(zip(OBSERVE_STAT_KEYS, svals)))
             kf.num_mapped_on_this += 1
             kf.num_mapped_on_this_total += 1
             kf.set_depth(export_dev[0], export_dev[1], float(host[-2]),
@@ -352,8 +384,15 @@ class SlamSystem:
 
     # ------------------------------------------------------------- mapping
 
-    def do_mapping_iteration(self):
-        """== doMappingIteration (SlamSystem.cpp:739-830), sequential."""
+    def do_mapping_iteration(self, tracked: Optional[TrackedFrame] = None):
+        """== doMappingIteration (SlamSystem.cpp:739-830).
+
+        `tracked` is the frame to map (the popped queue entry in async
+        mode); sequential callers omit it and the latest tracked frame is
+        used. The async mapping thread passes its frame explicitly instead
+        of mutating `latest_tracked`, which the tracking thread owns — a
+        mapping-thread write could clobber a fresher frame and make a
+        keyframe promotion pick a stale one."""
         if self.current_keyframe is None:
             return False
         if self.backend is not None:
@@ -365,13 +404,14 @@ class SlamSystem:
             self.finish_current_keyframe()
             self.change_keyframe(no_create=False, force=True, max_score=1.0)
         else:
-            self.update_keyframe()
+            self.update_keyframe(tracked)
         return True
 
-    def update_keyframe(self):
-        """Map the latest tracked frame into the current KF
+    def update_keyframe(self, tracked: Optional[TrackedFrame] = None):
+        """Map one tracked frame into the current KF
         (== SlamSystem::updateKeyframe, SlamSystem.cpp:542-615)."""
-        tracked = self.latest_tracked
+        if tracked is None:
+            tracked = self.latest_tracked
         kf = self.current_keyframe
         if tracked is None or tracked.parent_kf_id != kf.id:
             return False
@@ -382,10 +422,9 @@ class SlamSystem:
                 jnp.asarray(ref_to_kf, jnp.float32), float(tracked.id),
                 jnp.asarray(tracked.good_mask),
                 tracked.initial_tracked_residual)
-        skeys = sorted(obs_stats)
         svals = np.asarray(self._stats_pack_fn(  # one pull for all counters
-            tuple(obs_stats[k] for k in skeys)))
-        self.stats.add("observe", dict(zip(skeys, svals)))
+            tuple(obs_stats[k] for k in OBSERVE_STAT_KEYS)))
+        self.stats.add("observe", dict(zip(OBSERVE_STAT_KEYS, svals)))
         kf.num_mapped_on_this += 1
         kf.num_mapped_on_this_total += 1
         self._export_depth_to(kf)
@@ -411,6 +450,11 @@ class SlamSystem:
         n_min = self.frame_memory.prune(self.keyframes, self.current_keyframe)
         if n_min:
             self.stats.bump("keyframes_minimized", n_min)
+        if self.output is not None:
+            # == publishKeyframe on finish (SlamSystem.cpp:412-414): the
+            # dense buffers go out ONCE per finalize; later graph updates
+            # re-send only poses (README.md:310-324)
+            self.output.publish_keyframe(kf)
 
     def change_keyframe(self, no_create: bool, force: bool, max_score: float):
         """== changeKeyframe (SlamSystem.cpp:507-540): re-activate a close

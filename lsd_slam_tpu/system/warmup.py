@@ -1,0 +1,116 @@
+"""Engine warmup: pre-trace + pre-compile every dispatchable program.
+
+The reference pays no JIT cost (ahead-of-time C++); a JAX engine pays
+trace+compile on the FIRST call of each program shape. All engine programs
+live in module-level caches keyed on (camera, config, shapes)
+(tracking.se3_tracker.get_se3_program, depth.depth_map.get_depth_programs,
+system.slam_system._get_frame_step, ...), so compiling them ONCE per
+process makes every subsequently constructed SlamSystem hot from frame 0 —
+this module provides the product API that does so.
+
+`warmup(cam, cfg)` runs a short scripted synthetic episode at the real
+frame resolution through a scratch SlamSystem, forcing the rare paths
+(keyframe switches, constraint search at all Sim3 level ranges, quick-track
+batch buckets, PGO vertex buckets, re-activation, relocalization) that an
+ordinary run only hits minutes in. The scratch engine is discarded; the
+compiled programs stay in the shared caches.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from lsd_slam_tpu.camera import Camera
+from lsd_slam_tpu.config import LSDConfig
+
+
+def warmup(cam: Camera, cfg: LSDConfig, enable_slam: bool = True,
+           n_switches: int = 5, verbose: bool = False) -> dict:
+    """Pre-compile the engine program set for (cam, cfg).
+
+    n_switches forced keyframe promotions compile the switch path
+    (finalize / propagate / Sim3 constraint search / PGO) and walk the
+    quick-track batch buckets + PGO vertex buckets a real run starts in.
+    Returns a dict of timings. Safe to call more than once (second call is
+    cheap — every program is already cached)."""
+    from lsd_slam_tpu import lie
+    from lsd_slam_tpu.system.slam_system import SlamSystem
+    from lsd_slam_tpu.utils import synth
+    from lsd_slam_tpu.utils.stats import device_sync
+
+    t0 = time.perf_counter()
+    scene = synth.PlaneScene(seed=7)
+    sys_ = SlamSystem(cam, cfg, enable_slam=enable_slam, seed=7)
+
+    def pose(i):
+        # small lateral arc — comfortably trackable at any resolution
+        t = np.asarray(lie.se3_exp(jnp.asarray(
+            [0, 0, 0, 0, 0.004 * i, 0], jnp.float32)))
+        c2w = np.concatenate([t[0:4], [0.01 * i, 0.0, 0.002 * i]])
+        return np.asarray(lie.se3_inverse(jnp.asarray(
+            c2w.astype(np.float32))))
+
+    img0, dep0 = synth.render(scene, cam, jnp.asarray(pose(0)))
+    sys_.gt_depth_init(np.asarray(img0), np.asarray(dep0), 0, 0.0)
+
+    fid = 0
+    # two plain frames: compiles build_frame, the fused speculative
+    # _frame_step (pyramid + track + observe + export + pack)
+    for _ in range(2):
+        fid += 1
+        img, _ = synth.render(scene, cam, jnp.asarray(pose(fid)))
+        sys_.track_frame(img, fid, fid / 30.0)
+    # standalone observe (async/reloc-path mapping iteration)
+    sys_.do_mapping_iteration()
+    t_track = time.perf_counter()
+
+    # forced keyframe switches: standalone tracker (non-speculative path),
+    # finalize + propagate, constraint search (Sim3 at all level ranges,
+    # quick-track buckets), PGO buckets
+    for s in range(n_switches):
+        fid += 1
+        img, _ = synth.render(scene, cam, jnp.asarray(pose(fid)))
+        sys_.create_new_keyframe = True
+        sys_.track_frame(img, fid, fid / 30.0)
+        fid += 1
+        img, _ = synth.render(scene, cam, jnp.asarray(pose(fid)))
+        sys_.track_frame(img, fid, fid / 30.0)
+    t_switch = time.perf_counter()
+
+    reloc_ok = False
+    if enable_slam and sys_.backend is not None and len(sys_.keyframes) >= 2:
+        # re-activation program (setFromExistingKF)
+        kf = sys_.keyframes[0]
+        if kf.reactivation is not None:
+            state_snap = sys_.map.snapshot()
+            current = sys_.current_keyframe
+            sys_.load_existing_keyframe(kf)
+            sys_.current_keyframe = current
+            sys_.map.restore(state_snap)
+        # batched relocalizer program (first bucket)
+        from lsd_slam_tpu.frames import build_frame
+        img, _ = synth.render(scene, cam, jnp.asarray(pose(1)))
+        pyr = build_frame(jnp.asarray(img, jnp.float32),
+                          cfg.system.pyramid_levels, cfg.mapping.min_use_grad)
+        try:
+            sys_.backend.relocalize(pyr, fid + 1, 0.0)
+            reloc_ok = True
+        except Exception:  # pragma: no cover - warmup must never fail a run
+            pass
+
+    sys_.finalize()
+    device_sync()
+    out = {
+        "total_s": round(time.perf_counter() - t0, 2),
+        "frame_path_s": round(t_track - t0, 2),
+        "switch_path_s": round(t_switch - t_track, 2),
+        "keyframes": len(sys_.keyframes),
+        "reloc_warmed": reloc_ok,
+    }
+    if verbose:  # pragma: no cover
+        print(f"[warmup] {out}")
+    return out

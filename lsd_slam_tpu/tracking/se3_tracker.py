@@ -255,11 +255,97 @@ def _track_level(pose, aff_a, aff_b, pts, frame_quad, cam, cfg: TrackerConfig,
             out["diverged"])
 
 
+def _track_impl(cam: Camera, cfg: TrackerConfig, sigma2: float,
+                use_affine: bool, ref: TrackingRef, frame: FramePyramid,
+                init_frame_to_ref: jnp.ndarray) -> TrackResult:
+    """The whole pyramidal track as one traceable function. Module-level
+    (not a bound method) so `get_se3_program` can cache ONE jitted program
+    per (cam, cfg, sigma2, use_affine) across all SE3Tracker/SlamSystem
+    instances — per-instance `jax.jit(self...)` closures would re-trace
+    the entire pyramid on every new engine (tens of seconds)."""
+    pose = lie.se3_inverse(init_frame_to_ref)  # referenceToFrame
+    aff_a = jnp.float32(1.0)
+    aff_b = jnp.float32(0.0)
+    diverged = jnp.array(False)
+    last_err = jnp.float32(0.0)
+
+    for l in range(cfg.max_level, cfg.min_level - 1, -1):
+        caml = cam.level(l)
+        pose, aff_a, aff_b, last_err, div_l = _track_level(
+            pose, aff_a, aff_b, ref.pts[l], frame.quad[l], caml, cfg,
+            cfg.max_iterations[l], sigma2, use_affine)
+        diverged = diverged | div_l
+
+    # final stats & good-pixel mask at the min level (the reference's
+    # trackingWasGood + refPixelWasGood, SE3Tracker.cpp:475-484)
+    l = cfg.min_level
+    caml = cam.level(l)
+    pts = ref.pts[l]
+    buffers, stats = _residual_pass(
+        pose, aff_a, aff_b, pts, frame.quad[l], caml, cfg)
+    _, final_err = _weights_pass(pose, buffers, cfg, sigma2)
+    n_pix = caml.width * caml.height
+    ref_num = jnp.maximum(pts.n_valid, 1.0)
+    good = stats["good_count"].astype(jnp.float32)
+    bad = stats["bad_count"].astype(jnp.float32)
+    tracking_good = (
+        ~diverged
+        & (good / n_pix > cfg.min_goodperall_pixel)
+        & (good / jnp.maximum(good + bad, 1.0) > cfg.min_goodpergoodbad_pixel)
+    )
+    point_usage = stats["usage"] / ref_num
+
+    # scatter the per-point good flags back to the level grid; pixels
+    # not in the point set default to True (the depth mapper only
+    # excludes pixels the tracker actively flagged bad — matching the
+    # reference, where refPixelWasGood covers exactly the point cloud)
+    good_vec = stats["good"] & buffers["mask"]
+    sidx = jnp.where(pts.valid, pts.idx, n_pix)
+    good_flat = jnp.ones((n_pix,), bool).at[sidx].set(good_vec, mode="drop")
+
+    pose = jnp.where(diverged, lie.se3_identity(), pose)
+    inv_pose = lie.se3_inverse(pose)
+    initial_residual = final_err / jnp.maximum(point_usage, 1e-6)
+    host_pack = jnp.concatenate([
+        pose, inv_pose,
+        jnp.stack([diverged.astype(jnp.float32),
+                   tracking_good.astype(jnp.float32),
+                   final_err, point_usage, good, bad,
+                   aff_a, aff_b, initial_residual])])
+    return TrackResult(
+        ref_to_frame=pose,
+        frame_to_ref=inv_pose,
+        diverged=diverged,
+        tracking_good=tracking_good,
+        last_residual=final_err,
+        point_usage=point_usage,
+        good_count=stats["good_count"],
+        bad_count=stats["bad_count"],
+        affine_a=aff_a,
+        affine_b=aff_b,
+        good_mask=good_flat.reshape(caml.height, caml.width),
+        initial_residual=initial_residual,
+        host_pack=host_pack,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def get_se3_program(cam: Camera, cfg: TrackerConfig, sigma2: float,
+                    use_affine: bool):
+    """Module-level program cache: ONE traced+compiled pyramidal-track
+    program per (camera, config, sigma2, use_affine). Every SE3Tracker —
+    and through it every SlamSystem — with the same key shares the same
+    jitted callable, so constructing a fresh engine never re-traces."""
+    return jax.jit(functools.partial(_track_impl, cam, cfg, float(sigma2),
+                                     bool(use_affine)))
+
+
 class SE3Tracker:
     """Compiled pyramidal tracker bound to one camera + config.
 
-    One instance owns one jitted program covering all pyramid levels
-    (the reference's trackFrame, SE3Tracker.cpp:280-487)."""
+    The jitted program covering all pyramid levels (the reference's
+    trackFrame, SE3Tracker.cpp:280-487) comes from the shared
+    `get_se3_program` cache — instances are cheap handles."""
 
     def __init__(self, cam: Camera, cfg: TrackerConfig = TrackerConfig(),
                  sigma2: float = 16.0, use_affine: bool = True):
@@ -267,75 +353,7 @@ class SE3Tracker:
         self.cfg = cfg
         self.sigma2 = float(sigma2)
         self.use_affine = bool(use_affine)
-        self._fn = jax.jit(self._track_impl)
-
-    def _track_impl(self, ref: TrackingRef, frame: FramePyramid,
-                    init_frame_to_ref: jnp.ndarray) -> TrackResult:
-        cfg = self.cfg
-        pose = lie.se3_inverse(init_frame_to_ref)  # referenceToFrame
-        aff_a = jnp.float32(1.0)
-        aff_b = jnp.float32(0.0)
-        diverged = jnp.array(False)
-        last_err = jnp.float32(0.0)
-
-        for l in range(cfg.max_level, cfg.min_level - 1, -1):
-            caml = self.cam.level(l)
-            pose, aff_a, aff_b, last_err, div_l = _track_level(
-                pose, aff_a, aff_b, ref.pts[l], frame.quad[l], caml, cfg,
-                cfg.max_iterations[l], self.sigma2, self.use_affine)
-            diverged = diverged | div_l
-
-        # final stats & good-pixel mask at the min level (the reference's
-        # trackingWasGood + refPixelWasGood, SE3Tracker.cpp:475-484)
-        l = cfg.min_level
-        caml = self.cam.level(l)
-        pts = ref.pts[l]
-        buffers, stats = _residual_pass(
-            pose, aff_a, aff_b, pts, frame.quad[l], caml, cfg)
-        _, final_err = _weights_pass(pose, buffers, cfg, self.sigma2)
-        n_pix = caml.width * caml.height
-        ref_num = jnp.maximum(pts.n_valid, 1.0)
-        good = stats["good_count"].astype(jnp.float32)
-        bad = stats["bad_count"].astype(jnp.float32)
-        tracking_good = (
-            ~diverged
-            & (good / n_pix > cfg.min_goodperall_pixel)
-            & (good / jnp.maximum(good + bad, 1.0) > cfg.min_goodpergoodbad_pixel)
-        )
-        point_usage = stats["usage"] / ref_num
-
-        # scatter the per-point good flags back to the level grid; pixels
-        # not in the point set default to True (the depth mapper only
-        # excludes pixels the tracker actively flagged bad — matching the
-        # reference, where refPixelWasGood covers exactly the point cloud)
-        good_vec = stats["good"] & buffers["mask"]
-        sidx = jnp.where(pts.valid, pts.idx, n_pix)
-        good_flat = jnp.ones((n_pix,), bool).at[sidx].set(good_vec, mode="drop")
-
-        pose = jnp.where(diverged, lie.se3_identity(), pose)
-        inv_pose = lie.se3_inverse(pose)
-        initial_residual = final_err / jnp.maximum(point_usage, 1e-6)
-        host_pack = jnp.concatenate([
-            pose, inv_pose,
-            jnp.stack([diverged.astype(jnp.float32),
-                       tracking_good.astype(jnp.float32),
-                       final_err, point_usage, good, bad,
-                       aff_a, aff_b, initial_residual])])
-        return TrackResult(
-            ref_to_frame=pose,
-            frame_to_ref=inv_pose,
-            diverged=diverged,
-            tracking_good=tracking_good,
-            last_residual=final_err,
-            point_usage=point_usage,
-            good_count=stats["good_count"],
-            bad_count=stats["bad_count"],
-            affine_a=aff_a,
-            affine_b=aff_b,
-            good_mask=good_flat.reshape(caml.height, caml.width),
-            initial_residual=initial_residual,
-            host_pack=host_pack,
-        )
+        self._fn = get_se3_program(cam, cfg, self.sigma2, self.use_affine)
 
     def track(self, ref: TrackingRef, frame: FramePyramid,
               init_frame_to_ref) -> TrackResult:

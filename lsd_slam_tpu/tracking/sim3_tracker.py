@@ -209,142 +209,149 @@ def _sim3_normal_equations(buffers, weight_p, weight_d):
     return A, b, jnp.maximum(n, 1).astype(jnp.float32)
 
 
-class Sim3Tracker:
-    """Compiled Sim3 tracker bound to camera + config + level range.
+def _sim3_impl(cam: Camera, cfg: TrackerConfig, sigma2: float,
+               start_level: int, final_level: int, ref: TrackingRef,
+               frame: TrackingRef, init_frame_to_ref):
+    """Whole coarse-to-fine Sim3 track as one traceable function;
+    module-level so `get_sim3_program` can cache one jitted program per
+    (camera, config, sigma2, level-range) across tracker instances."""
+    pose = lie.sim3_inverse(init_frame_to_ref)
+    aff_a = jnp.float32(1.0)
+    aff_b = jnp.float32(0.0)
+    diverged = jnp.array(False)
+    mean_res = jnp.float32(0.0)
+    usage = jnp.float32(0.0)
 
-    One jitted program per (start_level, final_level) pair — the constraint
-    pipeline uses a fixed set of ranges (SlamSystem.cpp:1140-1202)."""
+    for l in range(start_level, final_level - 1, -1):
+        caml = cam.level(l)
+        h, we = caml.height, caml.width
+        min_pts = max(0.5 * cfg.min_goodperall_pixel_absmin * h * we, 10.0)
+
+        def res_pass(p, a, b, l=l, caml=caml):
+            return _sim3_residual_pass(
+                p, a, b, ref.pts[l], frame.sim3_quad[l], caml, cfg,
+                cfg.use_esm_sim3)
+
+        buffers, stats = res_pass(pose, aff_a, aff_b)
+        div0 = stats["in_count"] < min_pts
+        aff_a, aff_b = stats["aff_a_new"], stats["aff_b_new"]
+        wp, wd, last_err, _, _ = _sim3_weights(pose, buffers, cfg,
+                                               sigma2)
+        A0, g0, n0 = _sim3_normal_equations(buffers, wp, wd)
+
+        state = dict(pose=pose, aff_a=aff_a, aff_b=aff_b, A=A0, g=g0,
+                     n=n0, last_err=last_err,
+                     lam=jnp.float32(cfg.lambda_initial),
+                     iter=jnp.int32(0), inc_try=jnp.int32(0),
+                     trials=jnp.int32(0), done=div0, diverged=div0,
+                     usage=stats["usage"])
+
+        max_its = cfg.max_iterations[l]
+        max_trials = max_its + 4 * cfg.max_lm_rejects
+
+        def cond(st):
+            return ((st["iter"] < max_its) & ~st["done"]
+                    & (st["trials"] < max_trials))
+
+        def body(st):
+            A = st["A"] / st["n"]
+            g = st["g"] / st["n"]
+            A = A + st["lam"] * jnp.diag(jnp.diag(A))
+            inc = jnp.linalg.solve(A + 1e-12 * jnp.eye(7), g)
+            inc_sq = jnp.sum(inc * inc)
+            blown = ~((inc_sq >= 0) & (inc_sq < 1.0))
+
+            new_pose = lie.sim3_mul(lie.sim3_exp(inc), st["pose"])
+            buffers, stats = res_pass(new_pose, st["aff_a"], st["aff_b"])
+            div = (stats["in_count"] < min_pts) | blown
+            wp, wd, err, _, _ = _sim3_weights(new_pose, buffers, cfg,
+                                              sigma2)
+            A_new, g_new, n_new = _sim3_normal_equations(buffers, wp, wd)
+
+            accept = (err < st["last_err"]) & ~div
+            lam_acc = jnp.where(st["lam"] <= 0.2, 0.0,
+                                st["lam"] * cfg.lambda_success_fac)
+            lam_rej = jnp.where(
+                st["lam"] == 0.0, 0.2,
+                st["lam"] * cfg.lambda_fail_fac
+                ** (st["inc_try"] + 1).astype(jnp.float32))
+            converged = (err / jnp.maximum(st["last_err"], 1e-12)
+                         > cfg.convergence_eps)
+            step_small = inc_sq < cfg.step_size_min
+
+            sel = lambda a, b: jnp.where(accept, a, b)
+            return dict(
+                pose=jnp.where(accept, new_pose, st["pose"]),
+                aff_a=sel(stats["aff_a_new"], st["aff_a"]),
+                aff_b=sel(stats["aff_b_new"], st["aff_b"]),
+                A=jnp.where(accept, A_new, st["A"]),
+                g=jnp.where(accept, g_new, st["g"]),
+                n=sel(n_new, st["n"]),
+                last_err=sel(err, st["last_err"]),
+                lam=sel(lam_acc, lam_rej),
+                iter=st["iter"] + accept.astype(jnp.int32),
+                inc_try=sel(jnp.int32(0), st["inc_try"] + 1),
+                trials=st["trials"] + 1,
+                done=st["done"] | div | (accept & converged)
+                     | (~accept & step_small),
+                diverged=st["diverged"] | div,
+                usage=sel(stats["usage"], st["usage"]),
+            )
+
+        out = jax.lax.while_loop(cond, body, state)
+        pose = out["pose"]
+        aff_a, aff_b = out["aff_a"], out["aff_b"]
+        diverged = diverged | out["diverged"]
+        mean_res = out["last_err"]
+        usage = out["usage"]
+
+    # final Hessian at the converged pose (Sim3Tracker.cpp:354-363)
+    l = final_level
+    caml = cam.level(l)
+    buffers, stats = _sim3_residual_pass(
+        pose, aff_a, aff_b, ref.pts[l], frame.sim3_quad[l], caml, cfg,
+        cfg.use_esm_sim3)
+    wp, wd, mean, mean_d, mean_p = _sim3_weights(pose, buffers, cfg,
+                                                 sigma2)
+    A, _, _ = _sim3_normal_equations(buffers, wp, wd)
+    A = 0.5 * (A + A.T)  # exact symmetry despite f32 reduction order
+    ref_valid_count = jnp.maximum(ref.pts[l].n_valid, 1.0)
+
+    diverged = diverged | (pose[7] <= 0)
+    pose = jnp.where(diverged, lie.sim3_identity(), pose)
+    return Sim3TrackResult(
+        ref_to_frame=pose,
+        frame_to_ref=lie.sim3_inverse(pose),
+        diverged=diverged,
+        last_residual=mean,
+        depth_residual=mean_d,
+        photo_residual=mean_p,
+        point_usage=stats["usage"] / ref_valid_count,
+        hessian=A,
+    )
+
+@functools.lru_cache(maxsize=None)
+def get_sim3_program(cam: Camera, cfg: TrackerConfig, sigma2: float,
+                     start_level: int, final_level: int):
+    """Shared program cache: the constraint pipeline uses a fixed set of
+    level ranges (SlamSystem.cpp:1140-1202); each is traced exactly once
+    per (camera, config) process-wide."""
+    return jax.jit(functools.partial(_sim3_impl, cam, cfg, float(sigma2),
+                                     int(start_level), int(final_level)))
+
+
+class Sim3Tracker:
+    """Compiled Sim3 tracker bound to camera + config; per level range the
+    jitted program comes from the shared `get_sim3_program` cache."""
 
     def __init__(self, cam: Camera, cfg: TrackerConfig = TrackerConfig(),
                  sigma2: float = 16.0):
         self.cam = cam
         self.cfg = cfg
         self.sigma2 = float(sigma2)
-        self._fns = {}
-
-    def _impl(self, start_level: int, final_level: int, ref: TrackingRef,
-              frame: TrackingRef, init_frame_to_ref):
-        cfg = self.cfg
-        pose = lie.sim3_inverse(init_frame_to_ref)
-        aff_a = jnp.float32(1.0)
-        aff_b = jnp.float32(0.0)
-        diverged = jnp.array(False)
-        mean_res = jnp.float32(0.0)
-        usage = jnp.float32(0.0)
-
-        for l in range(start_level, final_level - 1, -1):
-            caml = self.cam.level(l)
-            h, we = caml.height, caml.width
-            min_pts = max(0.5 * cfg.min_goodperall_pixel_absmin * h * we, 10.0)
-
-            def res_pass(p, a, b, l=l, caml=caml):
-                return _sim3_residual_pass(
-                    p, a, b, ref.pts[l], frame.sim3_quad[l], caml, cfg,
-                    cfg.use_esm_sim3)
-
-            buffers, stats = res_pass(pose, aff_a, aff_b)
-            div0 = stats["in_count"] < min_pts
-            aff_a, aff_b = stats["aff_a_new"], stats["aff_b_new"]
-            wp, wd, last_err, _, _ = _sim3_weights(pose, buffers, cfg,
-                                                   self.sigma2)
-            A0, g0, n0 = _sim3_normal_equations(buffers, wp, wd)
-
-            state = dict(pose=pose, aff_a=aff_a, aff_b=aff_b, A=A0, g=g0,
-                         n=n0, last_err=last_err,
-                         lam=jnp.float32(cfg.lambda_initial),
-                         iter=jnp.int32(0), inc_try=jnp.int32(0),
-                         trials=jnp.int32(0), done=div0, diverged=div0,
-                         usage=stats["usage"])
-
-            max_its = cfg.max_iterations[l]
-            max_trials = max_its + 4 * cfg.max_lm_rejects
-
-            def cond(st):
-                return ((st["iter"] < max_its) & ~st["done"]
-                        & (st["trials"] < max_trials))
-
-            def body(st):
-                A = st["A"] / st["n"]
-                g = st["g"] / st["n"]
-                A = A + st["lam"] * jnp.diag(jnp.diag(A))
-                inc = jnp.linalg.solve(A + 1e-12 * jnp.eye(7), g)
-                inc_sq = jnp.sum(inc * inc)
-                blown = ~((inc_sq >= 0) & (inc_sq < 1.0))
-
-                new_pose = lie.sim3_mul(lie.sim3_exp(inc), st["pose"])
-                buffers, stats = res_pass(new_pose, st["aff_a"], st["aff_b"])
-                div = (stats["in_count"] < min_pts) | blown
-                wp, wd, err, _, _ = _sim3_weights(new_pose, buffers, cfg,
-                                                  self.sigma2)
-                A_new, g_new, n_new = _sim3_normal_equations(buffers, wp, wd)
-
-                accept = (err < st["last_err"]) & ~div
-                lam_acc = jnp.where(st["lam"] <= 0.2, 0.0,
-                                    st["lam"] * cfg.lambda_success_fac)
-                lam_rej = jnp.where(
-                    st["lam"] == 0.0, 0.2,
-                    st["lam"] * cfg.lambda_fail_fac
-                    ** (st["inc_try"] + 1).astype(jnp.float32))
-                converged = (err / jnp.maximum(st["last_err"], 1e-12)
-                             > cfg.convergence_eps)
-                step_small = inc_sq < cfg.step_size_min
-
-                sel = lambda a, b: jnp.where(accept, a, b)
-                return dict(
-                    pose=jnp.where(accept, new_pose, st["pose"]),
-                    aff_a=sel(stats["aff_a_new"], st["aff_a"]),
-                    aff_b=sel(stats["aff_b_new"], st["aff_b"]),
-                    A=jnp.where(accept, A_new, st["A"]),
-                    g=jnp.where(accept, g_new, st["g"]),
-                    n=sel(n_new, st["n"]),
-                    last_err=sel(err, st["last_err"]),
-                    lam=sel(lam_acc, lam_rej),
-                    iter=st["iter"] + accept.astype(jnp.int32),
-                    inc_try=sel(jnp.int32(0), st["inc_try"] + 1),
-                    trials=st["trials"] + 1,
-                    done=st["done"] | div | (accept & converged)
-                         | (~accept & step_small),
-                    diverged=st["diverged"] | div,
-                    usage=sel(stats["usage"], st["usage"]),
-                )
-
-            out = jax.lax.while_loop(cond, body, state)
-            pose = out["pose"]
-            aff_a, aff_b = out["aff_a"], out["aff_b"]
-            diverged = diverged | out["diverged"]
-            mean_res = out["last_err"]
-            usage = out["usage"]
-
-        # final Hessian at the converged pose (Sim3Tracker.cpp:354-363)
-        l = final_level
-        caml = self.cam.level(l)
-        buffers, stats = _sim3_residual_pass(
-            pose, aff_a, aff_b, ref.pts[l], frame.sim3_quad[l], caml, cfg,
-            cfg.use_esm_sim3)
-        wp, wd, mean, mean_d, mean_p = _sim3_weights(pose, buffers, cfg,
-                                                     self.sigma2)
-        A, _, _ = _sim3_normal_equations(buffers, wp, wd)
-        A = 0.5 * (A + A.T)  # exact symmetry despite f32 reduction order
-        ref_valid_count = jnp.maximum(ref.pts[l].n_valid, 1.0)
-
-        diverged = diverged | (pose[7] <= 0)
-        pose = jnp.where(diverged, lie.sim3_identity(), pose)
-        return Sim3TrackResult(
-            ref_to_frame=pose,
-            frame_to_ref=lie.sim3_inverse(pose),
-            diverged=diverged,
-            last_residual=mean,
-            depth_residual=mean_d,
-            photo_residual=mean_p,
-            point_usage=stats["usage"] / ref_valid_count,
-            hessian=A,
-        )
 
     def track(self, ref: TrackingRef, frame: TrackingRef, init_frame_to_ref,
               start_level: int, final_level: int) -> Sim3TrackResult:
-        key = (start_level, final_level)
-        if key not in self._fns:
-            self._fns[key] = jax.jit(
-                functools.partial(self._impl, start_level, final_level))
-        return self._fns[key](ref, frame, jnp.asarray(init_frame_to_ref,
-                                                      jnp.float32))
+        fn = get_sim3_program(self.cam, self.cfg, self.sigma2,
+                              start_level, final_level)
+        return fn(ref, frame, jnp.asarray(init_frame_to_ref, jnp.float32))

@@ -47,8 +47,16 @@ def device_sync():
 
 
 class StageTimers:
-    """EWMA wall-clock per stage (SlamSystem.h:115-118, DepthMap.h:87-93:
-    ms = 0.9*ms + 0.1*dt).
+    """Per-stage wall-clock statistics (SlamSystem.h:115-118,
+    DepthMap.h:87-93: EWMA ms = 0.9*ms + 0.1*dt).
+
+    The FIRST sample of each stage is recorded separately
+    (`first_ms`) and excluded from the EWMA / median / max: in a jitted
+    engine the first call of a program includes trace+compile, and folding
+    it into the EWMA makes the published per-stage cost ~the compile time
+    for rarely-called stages (keyframe switches run a handful of times per
+    sequence). `ms` (EWMA), `median()` and `max_ms` are therefore
+    steady-state numbers; `first_ms` is the warmup cost.
 
     By default the timers measure host dispatch windows (cheap, async-
     friendly — like the reference's gettimeofday pairs). With a `sync`
@@ -61,6 +69,23 @@ class StageTimers:
         self.sync = sync
         self.ms: Dict[str, float] = defaultdict(float)
         self.n: Dict[str, int] = defaultdict(int)
+        self.first_ms: Dict[str, float] = {}
+        self.max_ms: Dict[str, float] = defaultdict(float)
+        self.samples: Dict[str, list] = defaultdict(list)
+
+    def record(self, stage: str, dt_ms: float):
+        n = self.n[stage]
+        if n == 0:
+            self.first_ms[stage] = dt_ms
+        else:
+            if n == 1:
+                self.ms[stage] = dt_ms
+            else:
+                self.ms[stage] = self.alpha * self.ms[stage] \
+                    + (1 - self.alpha) * dt_ms
+            self.max_ms[stage] = max(self.max_ms[stage], dt_ms)
+            self.samples[stage].append(dt_ms)
+        self.n[stage] = n + 1
 
     @contextmanager
     def time(self, stage: str):
@@ -72,17 +97,17 @@ class StageTimers:
         finally:
             if self.sync is not None:
                 self.sync()
-            dt = (time.perf_counter() - t0) * 1000.0
-            if self.n[stage] == 0:
-                self.ms[stage] = dt
-            else:
-                self.ms[stage] = self.alpha * self.ms[stage] \
-                    + (1 - self.alpha) * dt
-            self.n[stage] += 1
+            self.record(stage, (time.perf_counter() - t0) * 1000.0)
+
+    def median(self, stage: str) -> float:
+        s = sorted(self.samples.get(stage, ()))
+        return s[len(s) // 2] if s else 0.0
 
     def summary(self) -> str:
         """One line like the reference's 1-Hz timing printout
         (SlamSystem.cpp:639-649)."""
         return ", ".join(
-            f"{k}: {self.ms[k]:.1f}ms ({self.n[k]}x)"
+            f"{k}: {self.ms[k]:.1f}ms (med {self.median(k):.1f}, "
+            f"max {self.max_ms[k]:.1f}, first {self.first_ms.get(k, 0):.0f}, "
+            f"{self.n[k]}x)"
             for k in sorted(self.ms))

@@ -158,3 +158,144 @@ def make_sequence(n_frames: int = 30, width: int = 320, height: int = 240,
         imgs.append(np.asarray(img))
         deps.append(np.asarray(dep))
     return cam, np.stack(imgs), np.stack(deps), poses
+
+
+class BenchScene(PlaneScene):
+    """PlaneScene plus bounded foreground occluder panels.
+
+    The infinite-plane scene is too easy: no occlusion boundaries, no
+    parallax discontinuities — the regimes where the reference's depth
+    filter earns its occlusion handling (propagateDepth occlusion resolve,
+    DepthMap.cpp:583-603) and where real monocular drift comes from. The
+    panels are finite textured slabs floating in front of the back wall."""
+
+    def __init__(self, seed: int = 0, **kw):
+        super().__init__(seed=seed, **kw)
+        # panel centers / normals (facing camera-ish) / in-plane half sizes
+        self.panel_c = jnp.asarray(
+            [[-0.9, 0.15, 2.2],
+             [0.95, -0.25, 2.7],
+             [0.1, 0.45, 1.8]], jnp.float32)
+        n = np.array([[0.25, 0.0, -1.0],
+                      [-0.2, 0.1, -1.0],
+                      [0.05, -0.3, -1.0]])
+        n /= np.linalg.norm(n, axis=1, keepdims=True)
+        self.panel_n = jnp.asarray(n, jnp.float32)
+        # in-plane axes: u = normalize(cross(n, up)), v = cross(n, u)
+        up = np.array([0.0, 1.0, 0.0])
+        u = np.cross(n, up)
+        u /= np.linalg.norm(u, axis=1, keepdims=True)
+        v = np.cross(n, u)
+        self.panel_u = jnp.asarray(u, jnp.float32)
+        self.panel_v = jnp.asarray(v, jnp.float32)
+        self.panel_hu = jnp.asarray([0.45, 0.4, 0.35], jnp.float32)
+        self.panel_hv = jnp.asarray([0.6, 0.5, 0.3], jnp.float32)
+        # texture phase offset so panels are visually distinct from the
+        # background they occlude
+        self.panel_phase = jnp.asarray([1.7, 3.1, 4.6], jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("scene", "camera"))
+def render_bench(scene: BenchScene, camera: Camera, pose_w2c):
+    """Render BenchScene: background planes + bounded occluder panels."""
+    h, w = camera.height, camera.width
+    c2w = lie.se3_inverse(pose_w2c)
+    center = c2w[4:7]
+    rot = lie.quat_to_matrix(c2w[0:4])
+
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    dx = (xs - camera.cx) / camera.fx
+    dy = (ys - camera.cy) / camera.fy
+    dirs_cam = jnp.stack([dx, dy, jnp.ones_like(dx)], axis=-1)
+    dirs_world = jnp.einsum('...i,ji->...j', dirs_cam, rot, precision=_HI)
+
+    # background: infinite planes
+    ndir = jnp.einsum('...i,pi->...p', dirs_world, scene.normals,
+                      precision=_HI)
+    t = (scene.offsets - jnp.einsum('i,pi->p', center, scene.normals,
+                                    precision=_HI)) / jnp.where(
+        jnp.abs(ndir) < 1e-8, 1e-8, ndir)
+    t = jnp.where(t > 0.05, t, jnp.inf)
+    t_bg = jnp.min(t, axis=-1)
+
+    # panels: plane intersection gated by in-plane extent
+    pn, pc = scene.panel_n, scene.panel_c
+    ndp = jnp.einsum('...i,pi->...p', dirs_world, pn, precision=_HI)
+    dpl = jnp.einsum('pi,pi->p', pc, pn, precision=_HI)
+    tp = (dpl - jnp.einsum('i,pi->p', center, pn, precision=_HI)) / \
+        jnp.where(jnp.abs(ndp) < 1e-8, 1e-8, ndp)
+    hit = center + tp[..., None] * dirs_world[..., None, :]  # (h,w,P,3)
+    rel = hit - pc
+    uu = jnp.einsum('...pi,pi->...p', rel, scene.panel_u, precision=_HI)
+    vv = jnp.einsum('...pi,pi->...p', rel, scene.panel_v, precision=_HI)
+    inside = ((jnp.abs(uu) < scene.panel_hu)
+              & (jnp.abs(vv) < scene.panel_hv) & (tp > 0.05))
+    tp = jnp.where(inside, tp, jnp.inf)
+    t_panel = jnp.min(tp, axis=-1)
+    panel_id = jnp.argmin(tp, axis=-1)
+
+    use_panel = t_panel < t_bg
+    depth = jnp.where(use_panel, t_panel, t_bg)
+    depth = jnp.where(jnp.isfinite(depth), depth, 0.0)
+    points = center + depth[..., None] * dirs_world
+    phase_off = jnp.where(use_panel, scene.panel_phase[panel_id], 0.0)
+    phase = jnp.einsum('...i,wi->...w', points, scene.freqs,
+                       precision=_HI) + scene.phases + phase_off[..., None]
+    img = scene.base + jnp.sum(scene.amps * jnp.sin(phase), axis=-1)
+    img = jnp.where(depth > 0, img, 0.0)
+    return img.astype(jnp.float32), depth.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("scene", "camera"))
+def render_realistic(scene: PlaneScene, camera: Camera, pose_w2c,
+                     frame_index=0, noise_sigma=1.5):
+    """Render + camera realism: smooth per-frame exposure drift (gain and
+    bias — exercises the affine lighting estimation, settings.cpp
+    useAffineLightningEstimation) and additive Gaussian sensor noise
+    (cameraPixelNoise2 models sigma=4 gray levels; real sensors at good
+    light sit around 1-2). Deterministic per frame_index."""
+    if isinstance(scene, BenchScene):
+        img, depth = render_bench(scene, camera, pose_w2c)
+    else:
+        img, depth = render(scene, camera, pose_w2c)
+    i = jnp.asarray(frame_index, jnp.float32)
+    gain = 1.0 + 0.06 * jnp.sin(0.21 * i) + 0.02 * jnp.sin(0.047 * i)
+    bias = 3.0 * jnp.sin(0.13 * i)
+    key = jax.random.fold_in(jax.random.PRNGKey(1234),
+                             jnp.asarray(frame_index, jnp.int32))
+    noise = jnp.asarray(noise_sigma, jnp.float32) * jax.random.normal(
+        key, img.shape, jnp.float32)
+    out = jnp.clip(gain * img + bias + noise, 0.0, 255.0)
+    out = jnp.where(depth > 0, out, 0.0)
+    return out.astype(jnp.float32), depth
+
+
+def bench_trajectory(n_frames: int, span: float = 1.0,
+                     yaw_amp: float = 0.45, seed: int = 2) -> np.ndarray:
+    """Reference-scale out-and-back loop (n, 7) w2c: a wide lateral sweep
+    with a +-~25 deg yaw pan and gentle bobbing. Sized so a 300-frame run
+    at 640x480 produces reference-like keyframe cadence (a keyframe every
+    few dozen frames, SlamSystem.cpp:996-1020) and accumulates measurable
+    monocular drift on the way out that loop closure must remove."""
+    rng = np.random.default_rng(seed)
+    # small smooth handheld jitter on top of the sweep
+    n_j = 6
+    jf = rng.uniform(2.0, 9.0, (n_j, 3))
+    jp = rng.uniform(0, 2 * np.pi, (n_j, 3))
+    ja = rng.uniform(0.002, 0.008, (n_j, 3)) / np.arange(1, n_j + 1)[:, None]
+    poses = []
+    for i in range(n_frames):
+        a = i / max(n_frames - 1, 1)
+        x = span * np.sin(np.pi * a)
+        z = 0.25 * np.sin(2 * np.pi * a)
+        y = 0.06 * np.sin(3 * np.pi * a)
+        jitter = np.sum(ja * np.sin(jf * a * 2 * np.pi + jp), axis=0)
+        yaw = yaw_amp * np.sin(2 * np.pi * a) + jitter[0]
+        pitch = 0.08 * np.sin(4 * np.pi * a) + jitter[1]
+        roll = 0.04 * np.sin(5 * np.pi * a) + jitter[2]
+        t = np.asarray(lie.se3_exp(jnp.asarray(
+            [0, 0, 0, pitch, yaw, roll], jnp.float32)))
+        c2w = np.concatenate([t[0:4], [x, y, z]]).astype(np.float32)
+        poses.append(np.asarray(lie.se3_inverse(jnp.asarray(c2w))))
+    return np.stack(poses)

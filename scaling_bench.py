@@ -110,6 +110,94 @@ def worker(k: int):
     out["quicktrack_batch_ms"] = round(dt / TRACK_REPEATS * 1000, 2)
     out["candidates_per_device"] = N_CANDIDATES // k
 
+    # ---- dense distributed PGO step (the <=320-vertex engine path) ----
+    from lsd_slam_tpu.parallel import distributed_pgo_step
+    ND = 128
+    dposes = np.tile(nps.sim3_identity(), (ND, 1)).astype(np.float32)
+    dposes[:, 4] = rng.normal(0, 0.05, ND)
+    NE_D = 1024
+    defrom = rng.integers(0, ND - 1, NE_D).astype(np.int32)
+    deto = ((defrom + 1 + rng.integers(0, 20, NE_D)) % ND).astype(np.int32)
+    dmeas = np.tile(nps.sim3_identity(), (NE_D, 1)).astype(np.float32)
+    dinfo = np.tile(np.eye(7, dtype=np.float32), (NE_D, 1, 1))
+    ddel = np.full(NE_D, 1e6, np.float32)
+    dfixed = np.zeros(ND, bool)
+    dfixed[0] = True
+    dstep = distributed_pgo_step(mesh, ND)
+    dargs = (jnp.asarray(dfixed), jnp.asarray(defrom), jnp.asarray(deto),
+             jnp.asarray(dmeas), jnp.asarray(dinfo), jnp.asarray(ddel),
+             jnp.float32(1e-6))
+    dp = jnp.asarray(dposes)
+    dstep(dp, *dargs)[0].block_until_ready()  # compile
+    t0 = time.perf_counter()
+    for _ in range(PGO_ITERS):
+        dnewp, _, _ = dstep(dp, *dargs)
+    dnewp.block_until_ready()
+    out["pgo_dense_step_ms"] = round(
+        (time.perf_counter() - t0) / PGO_ITERS * 1000, 2)
+
+    # ---- ENGINE-level: keyframes/s through the live SlamSystem ----
+    # (constraint search + PGO run the sharded paths when the mesh has
+    # more than one device; 1-device worker runs the single-chip paths)
+    import dataclasses as _dc
+    from lsd_slam_tpu.config import LSDConfig, KeyframeConfig
+    from lsd_slam_tpu.system import SlamSystem
+    from lsd_slam_tpu.utils import synth
+    from lsd_slam_tpu import lie as _lie
+
+    W2, H2 = 160, 128
+    N2 = 36
+    cam2 = synth.default_camera(W2, H2)
+    scene = synth.PlaneScene(seed=13)
+    poses2 = []
+    for i in range(N2):
+        a = i / (N2 - 1)
+        x = 0.55 * np.sin(np.pi * a)
+        yaw = 0.06 * np.sin(2 * np.pi * a)
+        t = np.asarray(_lie.se3_exp(jnp.asarray(
+            [0, 0, 0, 0, yaw, 0], jnp.float32)))
+        c2w = np.concatenate([t[0:4], [x, 0.0, 0.015 * np.sin(np.pi * a)]])
+        poses2.append(np.asarray(_lie.se3_inverse(jnp.asarray(
+            c2w.astype(np.float32)))))
+    imgs2, deps2 = [], []
+    for i in range(N2):
+        im, de = synth.render(scene, cam2, jnp.asarray(poses2[i]))
+        imgs2.append(np.asarray(im))
+        deps2.append(np.asarray(de))
+    cfg2 = LSDConfig(width=W2, height=H2).replace(
+        keyframe=KeyframeConfig(kf_dist_weight=25.0, kf_usage_weight=6.0,
+                                initialization_phase_count=1,
+                                min_num_mapped=2))
+
+    def engine_run():
+        backend_s = [0.0]
+        s = SlamSystem(cam2, cfg2, enable_slam=True)
+        s.gt_depth_init(imgs2[0], deps2[0], 0, 0.0)
+        # time the back-end (constraint search + PGO) via wrappers
+        orig_on_new = s.backend.on_new_keyframe
+
+        def timed_on_new(kf):
+            t0 = time.perf_counter()
+            orig_on_new(kf)
+            backend_s[0] += time.perf_counter() - t0
+        s.backend.on_new_keyframe = timed_on_new
+        t0 = time.perf_counter()
+        for i in range(1, N2):
+            s.track_frame(imgs2[i], i, i / 30.0)
+        s.finalize()
+        total = time.perf_counter() - t0
+        return s, total, backend_s[0]
+
+    engine_run()  # warm: compiles the whole engine set at this mesh size
+    s, total, backend_t = engine_run()
+    out["engine_frames"] = N2 - 1
+    out["engine_keyframes"] = len(s.keyframes)
+    out["engine_edges"] = s.backend.graph.pose_graph.n_edges
+    out["engine_total_s"] = round(total, 2)
+    out["engine_backend_s"] = round(backend_t, 2)
+    out["engine_kf_per_s"] = round(
+        len(s.keyframes) / max(backend_t, 1e-9), 2)
+
     print(json.dumps(out))
 
 
@@ -121,7 +209,7 @@ def main():
         env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
         env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
                             f" --xla_force_host_platform_device_count="
-                            f"{N_DEVICES}").strip()
+                            f"{k}").strip()
         env["JAX_COMPILATION_CACHE_DIR"] = "/root/.jax_cache_cpu"
         p = subprocess.run([sys.executable, os.path.abspath(__file__),
                             "worker", str(k)],
@@ -138,22 +226,47 @@ def main():
         f.write(
             "# Back-end scaling: 1 vs N devices\n\n"
             f"Measured on {rn['devices']} virtual CPU devices "
-            "(`--xla_force_host_platform_device_count`) on this host. "
-            "On a TPU pod slice the same programs shard over chips with "
-            "psum riding ICI; wall-clock here is bounded by the host's "
-            "physical core count, so the honest signals are correctness "
-            "at both mesh sizes and the per-device work reduction.\n\n"
+            "(`--xla_force_host_platform_device_count`) on this host "
+            "(2 physical vCPUs). On a TPU pod slice the same programs "
+            "shard over chips with collectives riding ICI; wall-clock "
+            "speedup here is bounded by the host's physical core count, "
+            "so the honest signals are (a) the sharded paths run "
+            "correctly at both mesh sizes, (b) per-device work drops by "
+            "N, and (c) nothing REGRESSES when the mesh turns on — the "
+            "round-3 dense-PGO psum of the full (N,N,7,7) H was 2.2x "
+            "slower at 8 devices and is now an all_gather of per-edge "
+            "blocks (O(E*49) traffic, parallel/distributed.py).\n\n"
             "| metric | 1 device | "
             f"{rn['devices']} devices |\n|---|---|---|\n"
-            f"| distributed PGO step ({N_VERTICES} vtx, {N_EDGES} edges) "
-            f"| {r1['pgo_step_ms']} ms | {rn['pgo_step_ms']} ms |\n"
+            f"| distributed PGO CG step ({N_VERTICES} vtx, {N_EDGES} "
+            f"edges) | {r1['pgo_step_ms']} ms | {rn['pgo_step_ms']} ms |\n"
+            f"| distributed PGO dense step (128 vtx, 1024 edges) "
+            f"| {r1['pgo_dense_step_ms']} ms "
+            f"| {rn['pgo_dense_step_ms']} ms |\n"
             f"| edges per device | {r1['pgo_edges_per_device']} "
             f"| {rn['pgo_edges_per_device']} |\n"
             f"| batched candidate quick-track ({N_CANDIDATES} cands, "
             f"640x480 L4) | {r1['quicktrack_batch_ms']} ms "
             f"| {rn['quicktrack_batch_ms']} ms |\n"
             f"| candidates per device | {r1['candidates_per_device']} "
-            f"| {rn['candidates_per_device']} |\n")
+            f"| {rn['candidates_per_device']} |\n"
+            f"| ENGINE keyframe back-end throughput (160x128, "
+            f"{r1['engine_frames']} frames) | {r1['engine_kf_per_s']} "
+            f"KF/s | {rn['engine_kf_per_s']} KF/s |\n"
+            f"| engine keyframes / edges | {r1['engine_keyframes']} / "
+            f"{r1['engine_edges']} | {rn['engine_keyframes']} / "
+            f"{rn['engine_edges']} |\n"
+            f"| engine back-end seconds | {r1['engine_backend_s']} "
+            f"| {rn['engine_backend_s']} |\n\n"
+            "The ENGINE row runs the full live SlamSystem (tracking + "
+            "mapping + constraint search + PGO) on the same synthetic "
+            "loop at both mesh sizes; back-end seconds is time inside "
+            "on_new_keyframe (candidate search, Sim3 verification, PGO "
+            "slices) — the component the mesh actually shards. On 2 "
+            "physical cores an 8-way virtual mesh adds partition/"
+            "collective overhead without adding compute, so parity "
+            "(not speedup) between the columns is the expected-good "
+            "result here; real speedup requires real chips.\n")
     print(json.dumps({"results": results}))
     print("wrote SCALING.md")
 

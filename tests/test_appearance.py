@@ -113,3 +113,50 @@ def test_appearance_path_finds_candidate_when_euclidean_cannot(world):
     cands, fabmap_id = graph.find_candidates(query, 1.0)
     assert fabmap_id == 200, (fabmap_id, sorted(cands))
     assert 200 in cands
+
+
+def test_index_scales_to_200_keyframes():
+    """Scale pass (reference envelope is ~1000 KFs, README.md:313-314):
+    adds are incremental (device row-set into a padded buffer, no O(N*D)
+    rebuild), capacity growth is transparent, and a query against 200
+    keyframes is one fused dispatch returning the right place."""
+    import time as _time
+
+    class FakePyr:
+        def __init__(self, img):
+            g = np.gradient(img)
+            self.images = {2: jnp.asarray(img)}
+            self.gx = {2: jnp.asarray(g[1] * 2)}
+            self.gy = {2: jnp.asarray(g[0] * 2)}
+
+    rng = np.random.default_rng(0)
+    h, w = 32, 40
+    base = [rng.uniform(0, 255, (h, w)).astype(np.float32)
+            for _ in range(200)]
+    # smooth them so gradients behave
+    def smooth(a):
+        return (a + np.roll(a, 1, 0) + np.roll(a, 1, 1)
+                + np.roll(a, -1, 0) + np.roll(a, -1, 1)) / 5.0
+    base = [smooth(smooth(b)) for b in base]
+
+    index = AppearanceIndex(level=2)
+    t0 = _time.perf_counter()
+    for k in range(200):
+        index.add(k * 10, FakePyr(base[k]))
+    add_s = _time.perf_counter() - t0
+    assert len(index) == 200
+    assert index._capacity >= 200 and index._mat.shape[0] == index._capacity
+
+    # query: a noisy revisit of place 30 (far outside the temporal window)
+    q = FakePyr(base[30] + rng.normal(0, 2.0, (h, w)).astype(np.float32))
+    t0 = _time.perf_counter()
+    got = index.query(q, query_id=10_000)
+    q_s = _time.perf_counter() - t0
+    assert got == 300, got
+    # one more query to measure the hot path (first may compile)
+    t0 = _time.perf_counter()
+    assert index.query(q, query_id=10_000) == 300
+    q_hot_s = _time.perf_counter() - t0
+    print(f"appearance scale: 200 adds {add_s:.2f}s, "
+          f"query {q_s*1e3:.1f}ms (hot {q_hot_s*1e3:.1f}ms)")
+    assert q_hot_s < 5.0

@@ -190,3 +190,29 @@ def test_slam_reactivates_keyframe(loop_seq):
     assert len(set(ids)) == len(ids)
     assert sys.stats.counters["keyframes_reactivated"] >= 1, \
         dict(sys.stats.counters)
+
+
+def test_promotion_uses_latest_tracked_not_popped(loop_seq):
+    """Regression: a keyframe promotion must use the FRESHEST tracked frame
+    (latest_tracked, owned by the tracking thread), not the possibly-stale
+    frame the mapping worker popped from its queue. The old async path
+    wrote sys.latest_tracked from the mapping thread, so under queue lag a
+    promotion could pick a frame the tracker had already superseded
+    (== the reference promotes latestTrackedFrame, SlamSystem.cpp:783-786)."""
+    cam, imgs, deps, gt = loop_seq
+    sys = SlamSystem(cam, slam_config(), enable_slam=True)
+    sys.gt_depth_init(imgs[0], deps[0], 0, 0.0)
+    for i in range(1, 8):
+        sys.track_frame(imgs[i], i, i / 30.0)
+    stale = sys.latest_tracked          # the queue-lagged frame
+    sys.track_frame(imgs[8], 8, 8 / 30.0)
+    fresh = sys.latest_tracked
+    assert fresh is not stale and fresh.id != stale.id
+    # simulate the async worker popping `stale` exactly when a promotion
+    # fires: the new keyframe must be the fresh frame
+    sys.create_new_keyframe = True
+    sys.do_mapping_iteration(stale)
+    assert sys.current_keyframe.id == fresh.id, (
+        sys.current_keyframe.id, stale.id, fresh.id)
+    # and latest_tracked was not clobbered by the mapping call
+    assert sys.latest_tracked is fresh
