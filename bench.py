@@ -107,13 +107,13 @@ def base_config(profile_sync=False, sequential=True):
         cfg.system, profile_sync=profile_sync, sequential=sequential))
 
 
-def run_slam(cam, imgs, dep0, gt_poses, cfg):
+def run_slam(cam, imgs, dep0, gt_poses, cfg, enable_slam=True):
     """One full run; returns (system, per-frame wall times, switch flags,
     total wall seconds including queue drain)."""
     from lsd_slam_tpu.system import SlamSystem
     from lsd_slam_tpu.utils.stats import device_sync
 
-    sys_ = SlamSystem(cam, cfg, enable_slam=True)
+    sys_ = SlamSystem(cam, cfg, enable_slam=enable_slam)
     sys_.gt_depth_init(np.asarray(imgs[0]), dep0, 0, 0.0)
     frame_ms = []
     switched = []
@@ -143,8 +143,16 @@ def main():
     cam, imgs, dep0, poses = make_loop_images()
     from lsd_slam_tpu.utils.evaluate import ate_rmse
 
-    # ---- warm run: compiles every program into the shared module-level
-    # caches AND records device-truthful per-stage steady-state medians
+    # ---- warmup: pre-compile the full engine program set (all observe
+    # budget buckets, switch path, Sim3 ranges, reloc) into the shared
+    # module-level caches — the product API a deployment would call once
+    from lsd_slam_tpu.system import warmup
+    t0 = time.perf_counter()
+    winfo = warmup(cam, base_config(), n_switches=3)
+    extras["warmup_s"] = round(time.perf_counter() - t0, 1)
+
+    # ---- warm run: compiles anything the scripted warmup missed AND
+    # records device-truthful per-stage steady-state medians
     t0 = time.perf_counter()
     sys_warm, _, _, _ = run_slam(cam, imgs, dep0, poses,
                                  base_config(profile_sync=True))
@@ -169,7 +177,13 @@ def main():
                          poses[:len(sys_seq.all_frame_poses)])
 
     # ---- timed async run (production configuration: tracking || mapping
-    # || constraint search || optimization threads)
+    # || constraint search || optimization threads). Run TWICE and report
+    # the second: the async configuration dispatches program variants the
+    # sequential warm run never hits (idle re-track candidate buckets),
+    # and those compiles belong to warmup, not to the measurement.
+    sys_w2, _, _, _ = run_slam(
+        cam, imgs, dep0, poses, base_config(sequential=False))
+    sys_w2.finalize()
     sys_a, fms_a, sw_a, total_a = run_slam(
         cam, imgs, dep0, poses, base_config(sequential=False))
     fps = (N_FRAMES - 1) / total_a
@@ -180,6 +194,16 @@ def main():
         extras["kf_switch_ms"] = round(float(np.median(fms_a[sw_a])), 1)
         extras["kf_switch_max_ms"] = round(float(fms_a[sw_a].max()), 1)
     sys_a.finalize()
+
+    # ---- VO-only drift baseline: the same sequence without the SLAM
+    # back-end (no constraints / PGO / re-activation) — the gap between
+    # ate_vo and the SLAM ATEs is the measured value of loop closure
+    sys_vo, _, _, _ = run_slam(cam, imgs, dep0, poses, base_config(),
+                               enable_slam=False)
+    traj_vo = sys_vo.trajectory_array()
+    extras["ate_vo"] = round(float(ate_rmse(traj_vo,
+                                            poses[:len(traj_vo)])), 5)
+    sys_vo.finalize()
 
     frames = sys_seq.stats.counters.get("frames_tracked", 1)
     extras["host_syncs_per_frame"] = round(

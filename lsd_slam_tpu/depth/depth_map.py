@@ -27,6 +27,39 @@ from lsd_slam_tpu.depth import regularize as reg_mod
 
 import collections
 
+
+def observe_budget_full(h: int, w: int) -> int:
+    """Default (maximum) observe point budget: ~grid/6 rounded to 8192."""
+    return max(8192, -(-(h * w) // 6 // 8192) * 8192)
+
+
+def observe_budget_buckets(h: int, w: int):
+    """The static budget sizes the observe program compiles for."""
+    full = observe_budget_full(h, w)
+    return tuple(b for b in (8192, 16384, 32768) if b < full) + (full,)
+
+
+def pick_observe_budget(h: int, w: int, last_active) -> int:
+    """Smallest bucket covering ~1.2x the previous sweep's eligible count.
+
+    The observe sweep's cost is proportional to its STATIC point budget,
+    but the eligible set shrinks drastically once a keyframe's depth
+    converges and adaptive frame-skipping (nextStereoFrameMinID) kicks in
+    — steady state is typically 4-6x below the fresh-keyframe count.
+    The eligible count of the last sweep (stats['active'], already in the
+    per-frame host pack) predicts the next one well; headroom plus the
+    frame-rotated truncation (observe.py) makes rare overflows harmless.
+    """
+    buckets = observe_budget_buckets(h, w)
+    if last_active is None:
+        return buckets[-1]
+    need = 1.2 * float(last_active)
+    for b in buckets:
+        if b >= need:
+            return b
+    return buckets[-1]
+
+
 DepthPrograms = collections.namedtuple(
     "DepthPrograms", ["observe", "create_kf", "finalize", "init_random",
                       "init_gt", "export", "set_from_existing"])
@@ -61,14 +94,14 @@ def get_depth_programs(cam: Camera, cfg: LSDConfig) -> DepthPrograms:
             jnp.where(ok, state.idepth_smoothed, 0.0)) / num
         return idepth0, ivar0, mean_idepth, jnp.sum(ok)
 
-    @jax.jit
+    @functools.partial(jax.jit, static_argnames=("point_budget",))
     def _observe(state, kf_img, kf_gx, kf_gy, kf_max_grad, ref_img,
                  ref_to_kf, ref_id, good_mask, tracking_residual,
-                 skip_inc):
+                 skip_inc, point_budget=0):
         state, stats = observe_mod.observe(
             state, kf_img, kf_gx, kf_gy, kf_max_grad, ref_img, ref_to_kf,
             ref_id, _upsample_mask(good_mask), tracking_residual,
-            skip_inc, cam, dcfg, mcfg)
+            skip_inc, cam, dcfg, mcfg, point_budget=point_budget)
         # post-observe sequence (updateKeyframe, DepthMap.cpp:1129-1153):
         # fill holes then regularize(keep), then the depth export fused
         # into the same program (one dispatch per mapping iteration)
@@ -204,6 +237,10 @@ class DepthMap:
 
         self.state: Optional[DepthMapState] = None
         self._fresh_export = None
+        # previous sweep's eligible-pixel count -> next sweep's budget
+        # bucket (None = unknown -> full budget). May hold a device scalar
+        # (standalone path) resolved lazily at the next pick.
+        self.last_active = None
         # reference bookkeeping (SlamSystem increments these)
         self.num_frames_tracked_on_this = 0
         self.num_mapped_on_this = 0
@@ -213,6 +250,13 @@ class DepthMap:
     def is_valid(self) -> bool:
         return self.state is not None
 
+    def pick_budget(self) -> int:
+        la = self.last_active
+        if la is not None and not isinstance(la, float):
+            la = float(np.asarray(la))
+            self.last_active = la
+        return pick_observe_budget(self.cfg.height, self.cfg.width, la)
+
     def invalidate(self):
         self.state = None
         self._fresh_export = None
@@ -220,12 +264,14 @@ class DepthMap:
     def initialize_randomly(self, kf_max_grad, seed: int = 0):
         self.state = self._init_random(jax.random.PRNGKey(seed),
                                        jnp.asarray(kf_max_grad))
+        self.last_active = None
         self.num_frames_tracked_on_this = 0
         self.num_mapped_on_this = 0
 
     def initialize_from_gt(self, gt_idepth, kf_max_grad):
         self.state = self._init_gt(jnp.asarray(gt_idepth),
                                    jnp.asarray(kf_max_grad))
+        self.last_active = None
         self.num_frames_tracked_on_this = 0
         self.num_mapped_on_this = 0
 
@@ -233,6 +279,7 @@ class DepthMap:
         self.state = self._set_from_existing_jit(
             jnp.asarray(re_idepth), jnp.asarray(re_var),
             jnp.asarray(re_validity))
+        self.last_active = None
         self.num_frames_tracked_on_this = 0
         self.num_mapped_on_this = 0
 
@@ -254,7 +301,8 @@ class DepthMap:
             kf_pyr.max_grad[0], jnp.asarray(ref_img), jnp.asarray(ref_to_kf),
             jnp.float32(ref_id), jnp.asarray(good_mask),
             jnp.asarray(tracking_residual, jnp.float32),
-            jnp.float32(skip_inc))
+            jnp.float32(skip_inc), point_budget=self.pick_budget())
+        self.last_active = stats["active"]  # device scalar, resolved lazily
         self._fresh_export = export
         self.num_mapped_on_this += 1
         return stats
@@ -263,11 +311,11 @@ class DepthMap:
         """Cheap functional snapshot for speculative mapping dispatch —
         state is immutable arrays, so this is just the references."""
         return (self.state, self._fresh_export, self.num_mapped_on_this,
-                self.num_frames_tracked_on_this)
+                self.num_frames_tracked_on_this, self.last_active)
 
     def restore(self, snap):
         (self.state, self._fresh_export, self.num_mapped_on_this,
-         self.num_frames_tracked_on_this) = snap
+         self.num_frames_tracked_on_this, self.last_active) = snap
 
     def create_keyframe(self, old_to_new, old_kf_img, new_pyr, good_mask,
                         have_good_mask: bool):
@@ -280,6 +328,7 @@ class DepthMap:
             bool(have_good_mask))
         self.num_frames_tracked_on_this = 0
         self.num_mapped_on_this = 0
+        self.last_active = None
         return float(rescale)
 
     def finalize_keyframe(self, kf_max_grad):

@@ -15,10 +15,9 @@ observeDepthCreate / observeDepthUpdate (DepthMap.cpp:147-473, 1442-1972):
   * creation seeds over [0, 1/MIN_DEPTH], EKF update fuses within
     [prior - 2 sigma, prior + 2 sigma] (STEREO_EPL_VAR_FAC).
 
-One deliberate deviation: the ambiguity check compares the best error
-against the best *non-adjacent* competitor; the reference tracks a running
-second-best that may sit adjacent to the winner (DepthMap.cpp:1761-1765) —
-ours is equivalent except marginally stricter in rare tie cases.
+The ambiguity check matches the reference exactly (DepthMap.cpp:1761-1765):
+the global second-best minimum rejects only when it sits non-adjacent to
+the winner — an adjacent second-best is a smooth SSD valley, not ambiguity.
 """
 
 from __future__ import annotations
@@ -259,12 +258,26 @@ def line_stereo(xs, ys, prior_idepth, min_idepth, max_idepth, epxn, epyn,
     best_k = jnp.argmin(ee_m, axis=-1)
     best_err = jnp.take_along_axis(ee_m, best_k[..., None], -1)[..., 0]
 
-    nonadj = in_search & (jnp.abs(ks - best_k[..., None]) > 1)
-    second_err = jnp.min(jnp.where(nonadj, ee, jnp.inf), axis=-1)
+    # Ambiguity ("clear enough winner", DepthMap.cpp:1761-1765): the
+    # GLOBAL second-best error and its position; reject only when that
+    # second-best sits NON-adjacent to the winner AND is too close in
+    # error. An adjacent second-best is the normal smooth SSD valley —
+    # especially wide at small baselines — and must NOT reject (an earlier
+    # version compared against the best non-adjacent error instead, which
+    # rejected nearly every create at adjacent-frame baselines and
+    # permanently blacklisted the map into starvation).
+    not_best = in_search & (ks != best_k[..., None])
+    ee_second = jnp.where(not_best, ee, jnp.inf)
+    second_k = jnp.argmin(ee_second, axis=-1)
+    second_err = jnp.take_along_axis(ee_second, second_k[..., None],
+                                     -1)[..., 0]
+    second_nonadj = jnp.abs(second_k - best_k) > 1
 
     ok, code = fail(ok, code, best_err > 4.0 * dcfg.max_error_stereo, ERR_BIG)
     ok, code = fail(ok, code,
-                    dcfg.min_distance_error_stereo * best_err > second_err,
+                    second_nonadj
+                    & (dcfg.min_distance_error_stereo * best_err
+                       > second_err),
                     ERR_FAIL)
 
     # ---- subpixel refinement (DepthMap.cpp:1767-1848) ----

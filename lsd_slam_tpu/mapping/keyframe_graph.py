@@ -421,6 +421,134 @@ class KeyFrameGraph:
         kf.tracking_failed.setdefault(candidate.id, []).append(
             np.asarray(init_estimate, np.float64))
 
+    # ---------------------------------------------------- batched testing
+
+    def test_constraints_batch(self, new_kf, cands, inits, stricts):
+        """Coarse-to-fine testConstraint over ALL candidates as batched
+        device programs (SlamSystem.cpp:1129-1216 semantics, TPU-batched).
+
+        One keyframe side (new_kf) is common, so each of the three level
+        ranges runs as exactly TWO vmapped Sim3 programs (both reciprocal
+        directions) over the stacked candidate refs — 6 dispatches and 6
+        host pulls per keyframe switch instead of ~6 per CANDIDATE.
+        Serially this stage measured ~2.5 s of device time per switch at
+        640x480 (the whole-engine bottleneck); batched it is a few hundred
+        ms. Candidates that fail a stage stay in the batch as dead lanes
+        (their results are ignored) — lockstep waste is far cheaper than
+        extra dispatches.
+
+        cands/inits/stricts: per-candidate Keyframe, candidate->frame Sim3
+        init, strictness. Returns a list of (e1, e2) or None per candidate.
+        """
+        import jax
+        from lsd_slam_tpu import lie as jlie
+
+        kcfg = self.system.cfg.keyframe
+        n = len(cands)
+        if n == 0:
+            return []
+        new_ref = new_kf.sim3_ref
+        th_per_stage = (kcfg.constraint_err_lvl3, kcfg.constraint_err_lvl2,
+                        kcfg.constraint_err_lvl1)
+
+        # live holds ORIGINAL candidate indices; the batch is re-compacted
+        # between stages so the expensive fine levels (1-2) only run on
+        # the survivors of the coarse gate — typically 2-4 of 10-15
+        # candidates (the reference's coarse-to-fine early-out,
+        # SlamSystem.cpp:1140-1202, recovered in batch form)
+        live = list(range(n))
+        c_to_f_all = np.stack([np.asarray(i, np.float64) for i in inits])
+        f_to_c_all = np.stack([nps.sim3_inverse(p) for p in c_to_f_all])
+        cons_all = np.full(n, 1e20)
+        last = None
+        for stage, (ls, le) in enumerate(((4, 3), (2, 2), (1, 1))):
+            m = len(live)
+            pad = self._pad_batch(m)
+            idxs = live + [live[0]] * (pad - m)
+            refs = [cands[i].sim3_ref for i in idxs]
+            stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                             *refs)
+            c_to_f = np.stack([c_to_f_all[i] for i in idxs])
+            f_to_c = np.stack([f_to_c_all[i] for i in idxs])
+            res_ba = self.sim3_tracker.track_batch_frames(
+                new_ref, stacked, np.asarray(c_to_f, np.float32), ls, le)
+            res_ab = self.sim3_tracker.track_batch(
+                stacked, new_ref, np.asarray(f_to_c, np.float32), ls, le)
+            ba_pose = np.asarray(res_ba.frame_to_ref, np.float64)
+            ab_pose = np.asarray(res_ab.frame_to_ref, np.float64)
+            ba_div = np.asarray(res_ba.diverged, bool)
+            ab_div = np.asarray(res_ab.diverged, bool)
+            info_ba = np.asarray(res_ba.hessian, np.float64)
+            info_ab = np.asarray(res_ab.hessian, np.float64)
+
+            survivors = []
+            lane_of = {}
+            for k in range(m):
+                ci = live[k]
+                cons_all[ci] = 1e20
+                if (ba_div[k] or ba_pose[k, 7] > 1e10 or ba_pose[k, 7] < 1e-10
+                        or info_ba[k, 0, 0] == 0 or info_ba[k, 6, 6] == 0
+                        or ab_div[k] or ab_pose[k, 7] > 1e10
+                        or ab_pose[k, 7] < 1e-10 or info_ab[k, 0, 0] == 0
+                        or info_ab[k, 6, 6] == 0):
+                    self._record_failure(new_kf, cands[ci], inits[ci])
+                    continue
+                adj = np.asarray(jlie.sim3_adjoint(jnp.asarray(
+                    ab_pose[k], jnp.float32)), np.float64)
+                try:
+                    diff_hesse = np.linalg.inv(
+                        np.linalg.inv(info_ab[k])
+                        + adj @ np.linalg.inv(info_ba[k]) @ adj.T)
+                except np.linalg.LinAlgError:
+                    self._record_failure(new_kf, cands[ci], inits[ci])
+                    continue
+                diff = np.asarray(jlie.sim3_log(jnp.asarray(
+                    nps.sim3_mul(ab_pose[k], ba_pose[k]), jnp.float32)),
+                    np.float64)
+                cons_all[ci] = float(diff @ diff_hesse @ diff)
+                if cons_all[ci] > th_per_stage[stage] * stricts[ci]:
+                    self._record_failure(new_kf, cands[ci], inits[ci])
+                    continue
+                # carry the refined poses into the next stage
+                f_to_c_all[ci] = ab_pose[k]
+                c_to_f_all[ci] = ba_pose[k]
+                lane_of[ci] = k
+                survivors.append(ci)
+
+            live = survivors
+            last = (ba_pose, ab_pose, info_ba, info_ab, res_ba, res_ab,
+                    lane_of)
+            if not live:
+                return [None] * n
+
+        ba_pose, ab_pose, info_ba, info_ab, res_ba, res_ab, lane_of = last
+        alive = {ci: True for ci in live}
+        out = []
+        for ci in range(n):
+            if ci not in alive:
+                out.append(None)
+                continue
+            k = lane_of[ci]
+            # robust-kernel delta uses the GLOBAL strictness (the serial
+            # testConstraint did too — the per-candidate strictness only
+            # relaxes the acceptance thresholds, SlamSystem.cpp:1211-1215)
+            kernel_delta = 5.0 * math.sqrt(
+                6000.0 * kcfg.loop_closure_strictness)
+            e1 = Constraint(
+                new_kf, cands[ci], ba_pose[k], info_ba[k], kernel_delta,
+                float(np.asarray(res_ba.last_residual)[k]),
+                float(np.asarray(res_ba.depth_residual)[k]),
+                float(np.asarray(res_ba.photo_residual)[k]),
+                float(np.asarray(res_ba.point_usage)[k]), cons_all[ci])
+            e2 = Constraint(
+                cands[ci], new_kf, ab_pose[k], info_ab[k], kernel_delta,
+                float(np.asarray(res_ab.last_residual)[k]),
+                float(np.asarray(res_ab.depth_residual)[k]),
+                float(np.asarray(res_ab.photo_residual)[k]),
+                float(np.asarray(res_ab.point_usage)[k]), cons_all[ci])
+            out.append((e1, e2))
+        return out
+
     # ------------------------------------------------------------ pipeline
 
     def find_constraints_for_new_keyframe(self, new_kf, force_parent=True,
@@ -552,29 +680,52 @@ class KeyFrameGraph:
         while len(far) > max_far:
             far.pop(self._rng.randrange(len(far)))
 
-        # -------- full Sim3 constraint tests
+        # -------- full Sim3 constraint tests, BATCHED: close + far +
+        # forced parent ride one coarse-to-fine batch (per-candidate
+        # strictness); a close candidate that fails but also qualifies as
+        # far retries with the identity init in a second (small) batch,
+        # preserving the serial pipeline's semantics
         constraints: List[Constraint] = []
         strict = kcfg.loop_closure_strictness
-        for cand in close:
-            e1, e2 = self.test_constraint(new_kf, cand, init_map[cand.id],
-                                          strict)
-            if e1 is not None:
-                constraints.extend([e1, e2])
-                far = [f for f in far if f.id != cand.id]
-        for cand in far:
-            e1, e2 = self.test_constraint(new_kf, cand,
-                                          nps.sim3_identity(), strict)
-            if e1 is not None:
-                constraints.extend([e1, e2])
-
-        # -------- forced parent edge (SlamSystem.cpp:1520-1566)
+        test_cands = list(close)
+        test_inits = [init_map[c.id] for c in close]
+        test_stricts = [strict] * len(close)
+        close_ids = {c.id for c in close}
+        far_only = [f for f in far if f.id not in close_ids]
+        test_cands += far_only
+        test_inits += [nps.sim3_identity() for _ in far_only]
+        test_stricts += [strict] * len(far_only)
+        parent_pos = -1
         if force_parent and parent_kf is not None:
-            init = nps.sim3_mul(nps.sim3_inverse(new_c2w),
-                                parent_kf.pose.cam_to_world())
-            e1, e2 = self.test_constraint(new_kf, parent_kf, init, 100.0)
-            if e1 is not None:
-                constraints.extend([e1, e2])
-            else:
+            parent_pos = len(test_cands)
+            test_cands.append(parent_kf)
+            test_inits.append(nps.sim3_mul(nps.sim3_inverse(new_c2w),
+                                           parent_kf.pose.cam_to_world()))
+            test_stricts.append(100.0)
+
+        results = self.test_constraints_batch(new_kf, test_cands,
+                                              test_inits, test_stricts)
+        parent_ok = False
+        failed_close = []
+        for i, (cand, res) in enumerate(zip(test_cands, results)):
+            if res is not None:
+                constraints.extend(res)
+                if i == parent_pos:
+                    parent_ok = True
+            elif i < len(close) and cand.id in {f.id for f in far}:
+                failed_close.append(cand)
+        if failed_close:
+            retry = self.test_constraints_batch(
+                new_kf, failed_close,
+                [nps.sim3_identity() for _ in failed_close],
+                [strict] * len(failed_close))
+            for res in retry:
+                if res is not None:
+                    constraints.extend(res)
+
+        # -------- forced parent fallback (SlamSystem.cpp:1520-1566)
+        if force_parent and parent_kf is not None:
+            if not parent_ok:
                 # hard-coded-information odometry fallback
                 downweight = 5.0
                 kernel_delta = (5.0 * math.sqrt(6000.0 * strict) / downweight)

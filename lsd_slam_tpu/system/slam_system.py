@@ -88,15 +88,15 @@ def _get_frame_step(cam: Camera, cfg: LSDConfig):
                                  cfg.tracker.use_affine_lighting)
     observe_fn = get_depth_programs(cam, cfg).observe
 
-    @jax.jit
+    @functools.partial(jax.jit, static_argnames=("point_budget",))
     def _frame_step(state, ref, kf_img, kf_gx, kf_gy, kf_max_grad,
-                    image, scalars):
+                    image, scalars, point_budget=0):
         pyr = build_frame(image, levels, ming)
         res = tracker_fn(ref, pyr, scalars[0:7])
         state2, stats, export = observe_fn(
             state, kf_img, kf_gx, kf_gy, kf_max_grad, pyr.images[0],
             res.frame_to_ref, scalars[7], res.good_mask,
-            res.initial_residual, scalars[8])
+            res.initial_residual, scalars[8], point_budget=point_budget)
         # pack order is defined ONCE by OBSERVE_STAT_KEYS (the host
         # unpacks with the same tuple); a stat key missing from the
         # observe dict fails loudly at trace time
@@ -290,7 +290,8 @@ class SlamSystem:
                 pyr, res, new_state, export_dev, pack = self._frame_step(
                     self.map.state, kf.tracking_ref, kf.pyr.images[0],
                     kf.pyr.gx[0], kf.pyr.gy[0], kf.pyr.max_grad[0],
-                    jnp.asarray(image, jnp.float32), scalars)
+                    jnp.asarray(image, jnp.float32), scalars,
+                    point_budget=self.map.pick_budget())
             self.map.state = new_state
             self.map._fresh_export = None
             self.map.num_mapped_on_this += 1
@@ -366,6 +367,9 @@ class SlamSystem:
             n_stats = len(OBSERVE_STAT_KEYS)
             svals = host[len(res.host_pack):len(res.host_pack) + n_stats]
             self.stats.add("observe", dict(zip(OBSERVE_STAT_KEYS, svals)))
+            # the eligible count steers the next sweep's budget bucket
+            self.map.last_active = float(
+                svals[OBSERVE_STAT_KEYS.index("active")])
             kf.num_mapped_on_this += 1
             kf.num_mapped_on_this_total += 1
             kf.set_depth(export_dev[0], export_dev[1], float(host[-2]),

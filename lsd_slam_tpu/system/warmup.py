@@ -81,6 +81,35 @@ def warmup(cam: Camera, cfg: LSDConfig, enable_slam: bool = True,
         sys_.track_frame(img, fid, fid / 30.0)
     t_switch = time.perf_counter()
 
+    # compile EVERY observe-budget bucket of both the fused frame step and
+    # the standalone observe program: the engine switches buckets as the
+    # eligible set shrinks (depth_map.pick_observe_budget), and in async
+    # mode a mid-run compile stalls the mapping thread long enough to
+    # starve tracking (queue full -> dropped frames -> loss)
+    from lsd_slam_tpu.depth.depth_map import observe_budget_buckets
+    import jax
+    if sys_.map.is_valid() and sys_.current_keyframe is not None:
+        kf = sys_.current_keyframe
+        st = sys_.map.state
+        img, _ = synth.render(scene, cam, jnp.asarray(pose(fid)))
+        scalars = np.zeros(9, np.float32)
+        scalars[0] = 1.0  # identity quaternion
+        for b in observe_budget_buckets(cfg.height, cfg.width):
+            out = sys_._frame_step(
+                st, kf.tracking_ref, kf.pyr.images[0], kf.pyr.gx[0],
+                kf.pyr.gy[0], kf.pyr.max_grad[0],
+                jnp.asarray(img, jnp.float32), scalars, point_budget=b)
+            jax.block_until_ready(out[4])
+            out2 = sys_.map._observe(
+                st, kf.pyr.images[0], kf.pyr.gx[0], kf.pyr.gy[0],
+                kf.pyr.max_grad[0], kf.pyr.images[0],
+                jnp.asarray(np.array([1, 0, 0, 0, 0, 0, 0], np.float32)),
+                jnp.float32(1.0),
+                jnp.ones_like(kf.pyr.images[0], dtype=bool),
+                jnp.float32(1.0), jnp.float32(3.0), point_budget=b)
+            jax.block_until_ready(out2[1]["active"])
+    t_buckets = time.perf_counter()
+
     reloc_ok = False
     if enable_slam and sys_.backend is not None and len(sys_.keyframes) >= 2:
         # re-activation program (setFromExistingKF)
@@ -108,6 +137,7 @@ def warmup(cam: Camera, cfg: LSDConfig, enable_slam: bool = True,
         "total_s": round(time.perf_counter() - t0, 2),
         "frame_path_s": round(t_track - t0, 2),
         "switch_path_s": round(t_switch - t_track, 2),
+        "bucket_path_s": round(t_buckets - t_switch, 2),
         "keyframes": len(sys_.keyframes),
         "reloc_warmed": reloc_ok,
     }

@@ -65,10 +65,19 @@ class PlaneScene:
         self.amps = jnp.asarray(amps, jnp.float32)
         self.base = 120.0
 
+    def wave(self, p, phase_off=0.0):
+        """Raw band-limited wave sum at world points p (..., 3)."""
+        phase = (jnp.einsum('...i,wi->...w', p, self.freqs, precision=_HI)
+                 + self.phases + jnp.asarray(phase_off)[..., None])
+        return jnp.sum(self.amps * jnp.sin(phase), axis=-1)
+
+    def shade(self, t):
+        """Map the raw wave to intensity."""
+        return self.base + t
+
     def texture(self, p):
         """Analytic intensity at world points p (..., 3)."""
-        phase = jnp.einsum('...i,wi->...w', p, self.freqs, precision=_HI) + self.phases  # (..., n_waves)
-        return self.base + jnp.sum(self.amps * jnp.sin(phase), axis=-1)
+        return self.shade(self.wave(p))
 
 
 @functools.partial(jax.jit, static_argnames=("scene", "camera"))
@@ -170,7 +179,29 @@ class BenchScene(PlaneScene):
     panels are finite textured slabs floating in front of the back wall."""
 
     def __init__(self, seed: int = 0, **kw):
+        # Finer, denser texture than the default PlaneScene: wavelengths
+        # down to ~5 cm keep far/oblique surfaces (side walls at 2-4 m)
+        # above the semi-dense gradient threshold — with the default
+        # 16 cm minimum the image goes nearly flat at the sweep's yaw
+        # extremes (observed: 45 pixels with |grad|>=10 in a whole frame).
+        kw.setdefault("n_waves", 96)
+        kw.setdefault("max_freq", 120.0)
+        kw.setdefault("contrast", 45.0)
         super().__init__(seed=seed, **kw)
+        # Enclose the room: side walls and a behind-wall so every ray hits
+        # texture at every pose of the bench sweep (the open PlaneScene
+        # renders VOID at yaw extremes, which collapses the photometric
+        # residual and fakes a tracking loss).
+        extra_n = np.array([
+            [-1.0, 0.0, 0.0],   # wall at x = +3.2
+            [1.0, 0.0, 0.0],    # wall at x = -3.2
+            [0.0, 0.0, 1.0],    # wall behind the start at z = -2.5
+        ])
+        extra_d = np.array([-3.2, -3.2, -2.5])
+        self.normals = jnp.concatenate(
+            [self.normals, jnp.asarray(extra_n, jnp.float32)])
+        self.offsets = jnp.concatenate(
+            [self.offsets, jnp.asarray(extra_d, jnp.float32)])
         # panel centers / normals (facing camera-ish) / in-plane half sizes
         self.panel_c = jnp.asarray(
             [[-0.9, 0.15, 2.2],
@@ -193,6 +224,19 @@ class BenchScene(PlaneScene):
         # texture phase offset so panels are visually distinct from the
         # background they occlude
         self.panel_phase = jnp.asarray([1.7, 3.1, 4.6], jnp.float32)
+
+    def shade(self, t):
+        # Edge-rich shading: the raw 1/f wave sum leaves a large pixel
+        # mass hovering AT the semi-dense gradient threshold, so the
+        # max-grad >= minUseGrad set churns frame-to-frame under sensor
+        # noise and keyframe propagation bleeds ~half its points at every
+        # switch (dest-grad gating, DepthMap.cpp:548-570). Real images
+        # are piecewise-smooth with strong edges — a soft-threshold tanh
+        # reproduces that: plateaus (clearly below threshold) separated
+        # by sharp transitions (clearly above), i.e. a bimodal gradient
+        # histogram that is STABLE across frames.
+        s = 24.0
+        return self.base + 0.35 * t + 0.95 * s * jnp.tanh(t * (2.5 / s))
 
 
 @functools.partial(jax.jit, static_argnames=("scene", "camera"))
@@ -240,9 +284,7 @@ def render_bench(scene: BenchScene, camera: Camera, pose_w2c):
     depth = jnp.where(jnp.isfinite(depth), depth, 0.0)
     points = center + depth[..., None] * dirs_world
     phase_off = jnp.where(use_panel, scene.panel_phase[panel_id], 0.0)
-    phase = jnp.einsum('...i,wi->...w', points, scene.freqs,
-                       precision=_HI) + scene.phases + phase_off[..., None]
-    img = scene.base + jnp.sum(scene.amps * jnp.sin(phase), axis=-1)
+    img = scene.shade(scene.wave(points, phase_off))
     img = jnp.where(depth > 0, img, 0.0)
     return img.astype(jnp.float32), depth.astype(jnp.float32)
 
@@ -271,8 +313,8 @@ def render_realistic(scene: PlaneScene, camera: Camera, pose_w2c,
     return out.astype(jnp.float32), depth
 
 
-def bench_trajectory(n_frames: int, span: float = 1.0,
-                     yaw_amp: float = 0.45, seed: int = 2) -> np.ndarray:
+def bench_trajectory(n_frames: int, span: float = 1.8,
+                     yaw_amp: float = 0.75, seed: int = 2) -> np.ndarray:
     """Reference-scale out-and-back loop (n, 7) w2c: a wide lateral sweep
     with a +-~25 deg yaw pan and gentle bobbing. Sized so a 300-frame run
     at 640x480 produces reference-like keyframe cadence (a keyframe every
@@ -287,13 +329,21 @@ def bench_trajectory(n_frames: int, span: float = 1.0,
     poses = []
     for i in range(n_frames):
         a = i / max(n_frames - 1, 1)
-        x = span * np.sin(np.pi * a)
-        z = 0.25 * np.sin(2 * np.pi * a)
-        y = 0.06 * np.sin(3 * np.pi * a)
+        # The sweep is SYMMETRIC in time (every term a function of
+        # sin(pi*a)): the return leg passes through the same poses and
+        # VIEWING DIRECTIONS as the outbound leg, so revisits genuinely
+        # overlap — with antisymmetric yaw/z terms (an earlier version)
+        # the camera re-crossed the same positions looking ~38 deg away
+        # and the loop could never close (view-cone rejection is then the
+        # CORRECT behavior, TrackableKeyFrameSearch.cpp:56-98).
+        sa = np.sin(np.pi * a)
         jitter = np.sum(ja * np.sin(jf * a * 2 * np.pi + jp), axis=0)
-        yaw = yaw_amp * np.sin(2 * np.pi * a) + jitter[0]
-        pitch = 0.08 * np.sin(4 * np.pi * a) + jitter[1]
-        roll = 0.04 * np.sin(5 * np.pi * a) + jitter[2]
+        x = span * sa
+        z = 0.45 * sa * sa
+        y = 0.05 * sa * sa + jitter[2] * 2.0
+        yaw = yaw_amp * sa + jitter[0]       # pan along the sweep
+        pitch = 0.06 * sa + jitter[1]
+        roll = 0.04 * sa * jitter[2] * 10.0
         t = np.asarray(lie.se3_exp(jnp.asarray(
             [0, 0, 0, pitch, yaw, roll], jnp.float32)))
         c2w = np.concatenate([t[0:4], [x, y, z]]).astype(np.float32)
