@@ -7,23 +7,26 @@ loop-closing synthetic sequence — the metric the reference's "real-time
 semi-dense SLAM" headline is about (README.md:3-4, 235; vs_baseline =
 fps / 30, the required input rate).
 
-Measurement design (round 4): every engine program lives in a module-level
-cache keyed on (camera, config) — see system/warmup.py — so the warm run
-compiles the whole program set ONCE and the timed runs (fresh engine
-instances, as production restarts would be) execute fully hot. The timed
-numbers contain zero trace/compile:
-  * e2e fps both in sequential (hz=0, deterministic) and async (the
-    reference's threaded production configuration) modes;
-  * worst_frame_ms + p50/p95 per-frame latency of the timed run;
-  * kf_switch_ms: median/max wall time of frames that performed a keyframe
-    switch (finalize + propagate + constraint search + PGO inline in
-    sequential mode; bounded by the worker threads in async mode);
-  * per-stage device-truthful ms (profile_sync run) as steady-state
-    medians — first-call compile samples are excluded by StageTimers;
-  * host_syncs_per_frame — 1.0 on non-switch frames by design;
-  * ate_before_pgo / ate_after_pgo — trajectory error at track time vs
-    recomputed through the optimized pose graph (loop-closure evidence);
-  * keyframes / constraint edges of the run.
+Modes measured (round 5):
+  * seq — hz=0 blocking mode: fully deterministic, one host sync per
+    frame. The reference's dataset `_hz:=0` semantics.
+  * pipelined (PRODUCTION, the headline) — pipeline_lag=3 frames in
+    flight with device-side pose chaining and async device->host scalar
+    copies; constraint search + PGO on worker threads. This is the
+    TPU-native answer to the reference's 4-thread overlap: on a
+    remote-attached chip a blocking per-frame sync costs ~25 ms RTT,
+    so the lag hides latency the way the reference's mapping-thread
+    queue hides mapping cost.
+  * threads — the reference-shaped threaded mode (tracking || mapping
+    || constraints || optimization), with the round-5 queue batch-drain
+    (multi-ref observe) fix; reported in extras.
+
+HEADLINE HONESTY GATE (r4 post-mortem: the committed 11.68 fps headline
+came from an async run that never finished a keyframe): the pipelined fps
+is only the headline if that run actually built a map — keyframes at least
+the sequential run's - 1, constraint edges present, and ATE comparable.
+Otherwise the headline falls back to the sequential fps and
+extras["headline_mode"] says so.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 """
@@ -45,6 +48,7 @@ import jax.numpy as jnp
 W, H = 640, 480
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "300"))
 NOISE = float(os.environ.get("BENCH_NOISE", "1.5"))
+PIPE_LAG = int(os.environ.get("BENCH_PIPE_LAG", "3"))
 
 
 def bench_tracker_only(extras):
@@ -99,12 +103,15 @@ def make_loop_images():
     return cam, imgs, dep0, poses
 
 
-def base_config(profile_sync=False, sequential=True):
+def base_config(profile_sync=False, mode="seq"):
     from lsd_slam_tpu.config import LSDConfig
 
     cfg = LSDConfig(width=W, height=H)
+    sequential = mode == "seq"
+    lag = PIPE_LAG if mode == "pipelined" else 0
     return cfg.replace(system=dataclasses.replace(
-        cfg.system, profile_sync=profile_sync, sequential=sequential))
+        cfg.system, profile_sync=profile_sync, sequential=sequential,
+        pipeline_lag=lag))
 
 
 def run_slam(cam, imgs, dep0, gt_poses, cfg, enable_slam=True):
@@ -127,13 +134,46 @@ def run_slam(cam, imgs, dep0, gt_poses, cfg, enable_slam=True):
                   if sys_.current_keyframe is not None else kf_id)
         switched.append(new_id != kf_id)
         kf_id = new_id
-    if sys_.mapping_thread is not None:
-        sys_.block_until_mapped(120.0)
-        if sys_.backend is not None:
-            sys_.backend.wait_until_drained(120.0)
+    sys_.block_until_mapped(120.0)
+    if sys_.backend is not None:
+        sys_.backend.wait_until_drained(120.0)
     device_sync()
     total_s = time.perf_counter() - t_start
     return sys_, np.asarray(frame_ms), np.asarray(switched), total_s
+
+
+def run_health(sys_, poses):
+    """Map-building health of a finished run (the r4 failure mode was an
+    async run reported as the headline with zero keyframes built)."""
+    from lsd_slam_tpu.utils.evaluate import ate_rmse
+
+    traj = sys_.trajectory_array() if sys_.trajectory else np.zeros((0, 8))
+    ate = ate_rmse(traj, poses[:len(traj)]) if len(traj) > 2 else None
+    c = sys_.stats.counters
+    edges = (sys_.backend.graph.pose_graph.n_edges
+             if sys_.backend is not None and sys_.backend._graph is not None
+             else 0)
+    return dict(
+        keyframes=len(sys_.keyframes),
+        edges=int(edges),
+        ate=round(float(ate), 5) if ate is not None else None,
+        tracked=int(c.get("frames_tracked", 0)),
+        tracking_good=bool(sys_.tracking_is_good),
+        reinits=int(c.get("reinitialized_after_loss", 0)),
+        queue_drops=int(sys_.mapping_thread.queue.dropped
+                        if sys_.mapping_thread is not None else 0),
+        mapping_batch_max=int(c.get("mapping_batch_max", 0)),
+    )
+
+
+def latency_extras(extras, prefix, fms, sw):
+    extras[f"{prefix}_worst_frame_ms"] = round(float(fms.max()), 1)
+    extras[f"{prefix}_p50_frame_ms"] = round(float(np.percentile(fms, 50)), 2)
+    extras[f"{prefix}_p95_frame_ms"] = round(float(np.percentile(fms, 95)), 2)
+    if sw.any():
+        extras[f"{prefix}_kf_switch_ms"] = round(
+            float(np.median(fms[sw])), 1)
+        extras[f"{prefix}_kf_switch_max_ms"] = round(float(fms[sw].max()), 1)
 
 
 def main():
@@ -144,8 +184,9 @@ def main():
     from lsd_slam_tpu.utils.evaluate import ate_rmse
 
     # ---- warmup: pre-compile the full engine program set (all observe
-    # budget buckets, switch path, Sim3 ranges, reloc) into the shared
-    # module-level caches — the product API a deployment would call once
+    # budget buckets, multi-ref drain buckets, switch path, Sim3 ranges,
+    # reloc) into the shared module-level caches — the product API a
+    # deployment would call once
     from lsd_slam_tpu.system import warmup
     t0 = time.perf_counter()
     winfo = warmup(cam, base_config(), n_switches=3)
@@ -165,35 +206,49 @@ def main():
     # fully hot from the shared caches
     sys_seq, fms_seq, sw_seq, total_seq = run_slam(
         cam, imgs, dep0, poses, base_config())
-    extras["seq_fps"] = round((N_FRAMES - 1) / total_seq, 2)
-    extras["seq_worst_frame_ms"] = round(float(fms_seq.max()), 1)
-    if sw_seq.any():
-        extras["seq_kf_switch_ms"] = round(
-            float(np.median(fms_seq[sw_seq])), 1)
+    seq_fps = (N_FRAMES - 1) / total_seq
+    extras["seq_fps"] = round(seq_fps, 2)
+    latency_extras(extras, "seq", fms_seq, sw_seq)
+    seq_health = run_health(sys_seq, poses)
     traj = sys_seq.trajectory_array()
     ate_before = ate_rmse(traj, poses[:len(traj)])
     sys_seq.finalize()
     ate_after = ate_rmse(sys_seq.optimized_trajectory_array(),
                          poses[:len(sys_seq.all_frame_poses)])
 
-    # ---- timed async run (production configuration: tracking || mapping
-    # || constraint search || optimization threads). Run TWICE and report
-    # the second: the async configuration dispatches program variants the
-    # sequential warm run never hits (idle re-track candidate buckets),
-    # and those compiles belong to warmup, not to the measurement.
-    sys_w2, _, _, _ = run_slam(
-        cam, imgs, dep0, poses, base_config(sequential=False))
-    sys_w2.finalize()
-    sys_a, fms_a, sw_a, total_a = run_slam(
-        cam, imgs, dep0, poses, base_config(sequential=False))
-    fps = (N_FRAMES - 1) / total_a
-    extras["worst_frame_ms"] = round(float(fms_a.max()), 1)
-    extras["p50_frame_ms"] = round(float(np.percentile(fms_a, 50)), 2)
-    extras["p95_frame_ms"] = round(float(np.percentile(fms_a, 95)), 2)
-    if sw_a.any():
-        extras["kf_switch_ms"] = round(float(np.median(fms_a[sw_a])), 1)
-        extras["kf_switch_max_ms"] = round(float(fms_a[sw_a].max()), 1)
-    sys_a.finalize()
+    # ---- timed PRODUCTION run: pipelined frame loop + constraint/PGO
+    # worker threads. Run TWICE and report the second: the worker threads
+    # dispatch program variants (idle re-track candidate buckets) the
+    # sequential warm run never hits, and those compiles belong to warmup,
+    # not to the measurement.
+    sys_p0, _, _, _ = run_slam(cam, imgs, dep0, poses,
+                               base_config(mode="pipelined"))
+    sys_p0.finalize()
+    sys_pipe, fms_p, sw_p, total_p = run_slam(
+        cam, imgs, dep0, poses, base_config(mode="pipelined"))
+    pipe_fps = (N_FRAMES - 1) / total_p
+    extras["pipelined_fps"] = round(pipe_fps, 2)
+    extras["pipeline_lag"] = PIPE_LAG
+    latency_extras(extras, "pipe", fms_p, sw_p)
+    pipe_health = run_health(sys_pipe, poses)
+    sys_pipe.finalize()
+    pipe_ate_after = ate_rmse(
+        sys_pipe.optimized_trajectory_array(),
+        poses[:len(sys_pipe.all_frame_poses)])
+    for k, v in pipe_health.items():
+        extras[f"pipe_{k}"] = v
+    extras["pipe_ate_after_pgo"] = (round(float(pipe_ate_after), 5)
+                                    if pipe_ate_after is not None else None)
+
+    # ---- reference-shaped threaded mode (tracking || mapping ||
+    # constraints || optimization with queue batch-drain): health extras
+    sys_thr, fms_t, sw_t, total_t = run_slam(
+        cam, imgs, dep0, poses, base_config(mode="threads"))
+    extras["threads_fps"] = round((N_FRAMES - 1) / total_t, 2)
+    thr_health = run_health(sys_thr, poses)
+    sys_thr.finalize()
+    for k, v in thr_health.items():
+        extras[f"threads_{k}"] = v
 
     # ---- VO-only drift baseline: the same sequence without the SLAM
     # back-end (no constraints / PGO / re-activation) — the gap between
@@ -210,13 +265,30 @@ def main():
         sys_seq.stats.counters.get("host_syncs", 0) / max(frames, 1), 3)
     extras["ate_before_pgo"] = round(float(ate_before), 5) \
         if ate_before is not None else None
-    extras["ate_after_pgo"] = round(float(ate_after), 5)
-    extras["keyframes"] = len(sys_seq.keyframes)
-    extras["constraint_edges"] = (sys_seq.backend.graph.pose_graph.n_edges
-                                  if sys_seq.backend is not None else 0)
+    extras["ate_after_pgo"] = round(float(ate_after), 5) \
+        if ate_after is not None else None
+    extras["keyframes"] = seq_health["keyframes"]
+    extras["constraint_edges"] = seq_health["edges"]
     extras["n_frames"] = N_FRAMES
     extras["noise_sigma"] = NOISE
     extras["devices"] = len(jax.devices())
+
+    # ---- HONESTY GATE: the pipelined fps is the headline only if that
+    # run actually built a comparable map (r4 post-mortem)
+    seq_ate = seq_health["ate"] if seq_health["ate"] is not None else 1e9
+    pipe_ok = (
+        pipe_health["keyframes"] >= max(2, seq_health["keyframes"] - 1)
+        and pipe_health["edges"] > 0
+        and pipe_health["tracking_good"]
+        and pipe_health["reinits"] == 0
+        and pipe_health["ate"] is not None
+        and pipe_health["ate"] <= max(2.0 * seq_ate, seq_ate + 0.01))
+    if pipe_ok:
+        fps = pipe_fps
+        extras["headline_mode"] = "pipelined"
+    else:
+        fps = seq_fps
+        extras["headline_mode"] = "seq (pipelined run failed health gate)"
 
     print(json.dumps({
         "metric": "e2e_slam_fps_640x480",

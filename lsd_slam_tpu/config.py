@@ -181,6 +181,18 @@ class SystemConfig:
     # queue (the reference's hz=0 semantics, SlamSystem.cpp:1030-1039); the
     # TPU build makes this path fully deterministic.
     sequential: bool = True
+    # Pipelined frame retirement: keep up to this many fused frame-step
+    # programs in flight, chaining each frame's tracking init from the
+    # previous frame's DEVICE pose and pulling host scalars only once their
+    # async device->host copy has landed. Host-side decisions (loss,
+    # keyframe selection) lag by this many frames — exactly the lag the
+    # reference's tracking thread has relative to its mapping thread
+    # (SlamSystem.cpp:1023-1039) — but the math is bit-identical to lag 0
+    # and the schedule is deterministic. 0 = block every frame (hz=0).
+    # This is the TPU-native replacement for thread overlap: on
+    # remote-attached chips a blocking per-frame sync costs ~25 ms of
+    # round-trip latency; 3 deep in flight hides all of it.
+    pipeline_lag: int = 0
     # pose-graph optimizer slice size (SlamSystem.cpp:377: 5-iteration slices)
     pgo_iterations_per_slice: int = 5
     # cap on synchronous PGO slices per new-keyframe update (the reference

@@ -60,9 +60,16 @@ def pick_observe_budget(h: int, w: int, last_active) -> int:
     return buckets[-1]
 
 
+# queue-drain sweep sizes: a batch of K tracked frames pads up to the next
+# bucket (replicating the newest frame — never selected); >8 chunks. Two
+# buckets at the FULL point budget bound the program count (each K is a
+# separate compile); padding waste is a few ms of elementwise prep.
+MULTI_REF_BUCKETS = (4, 8)
+
 DepthPrograms = collections.namedtuple(
-    "DepthPrograms", ["observe", "create_kf", "finalize", "init_random",
-                      "init_gt", "export", "set_from_existing"])
+    "DepthPrograms", ["observe", "observe_multi", "create_kf", "finalize",
+                      "init_random", "init_gt", "export",
+                      "set_from_existing"])
 
 
 @functools.lru_cache(maxsize=None)
@@ -105,6 +112,26 @@ def get_depth_programs(cam: Camera, cfg: LSDConfig) -> DepthPrograms:
         # post-observe sequence (updateKeyframe, DepthMap.cpp:1129-1153):
         # fill holes then regularize(keep), then the depth export fused
         # into the same program (one dispatch per mapping iteration)
+        state = reg_mod.fill_holes(state, kf_max_grad, dcfg,
+                                   mcfg.min_use_grad)
+        state = reg_mod.regularize(state, False, dcfg.val_sum_min_for_keep,
+                                   dcfg, mcfg.depth_smoothing_factor)
+        state = state.canonical()
+        return state, stats, _export_arrays(state)
+
+    @functools.partial(jax.jit, static_argnames=("point_budget",))
+    def _observe_multi(state, kf_img, kf_gx, kf_gy, kf_max_grad, ref_stack,
+                       ref_to_kf, ref_ids, good_masks, tracking_residuals,
+                       skip_inc, point_budget=0):
+        # batch-drain sweep: ONE EPL pass maps a whole queue of tracked
+        # frames, each pixel stereo-matching against the frame its
+        # nextStereoFrameMinID selects (== DepthMap::updateKeyframe with
+        # the full unmapped deque, DepthMap.cpp:1072-1101, 302-319)
+        gm = jax.vmap(_upsample_mask)(good_masks)
+        state, stats = observe_mod.observe_multi(
+            state, kf_img, kf_gx, kf_gy, kf_max_grad, ref_stack, ref_to_kf,
+            ref_ids, gm, tracking_residuals, skip_inc, cam, dcfg, mcfg,
+            point_budget=point_budget)
         state = reg_mod.fill_holes(state, kf_max_grad, dcfg,
                                    mcfg.min_use_grad)
         state = reg_mod.regularize(state, False, dcfg.val_sum_min_for_keep,
@@ -212,9 +239,9 @@ def get_depth_programs(cam: Camera, cfg: LSDConfig) -> DepthPrograms:
 
 
     return DepthPrograms(
-        observe=_observe, create_kf=_create_kf, finalize=_finalize,
-        init_random=_init_random, init_gt=_init_gt, export=_export,
-        set_from_existing=_set_from_existing)
+        observe=_observe, observe_multi=_observe_multi, create_kf=_create_kf,
+        finalize=_finalize, init_random=_init_random, init_gt=_init_gt,
+        export=_export, set_from_existing=_set_from_existing)
 
 
 class DepthMap:
@@ -228,6 +255,7 @@ class DepthMap:
         self.cfg = cfg
         progs = get_depth_programs(cam, cfg.program_key())
         self._observe = progs.observe
+        self._observe_multi = progs.observe_multi
         self._create_kf = progs.create_kf
         self._finalize = progs.finalize
         self._init_random = progs.init_random
@@ -306,6 +334,66 @@ class DepthMap:
         self._fresh_export = export
         self.num_mapped_on_this += 1
         return stats
+
+    def update_keyframe_multi(self, kf_pyr, ref_imgs, ref_to_kfs, ref_ids,
+                              good_masks, tracking_residuals):
+        """One mapping iteration consuming a QUEUE of tracked frames
+        (== updateKeyframe with the whole unmappedTrackedFrames deque,
+        SlamSystem.cpp:542-571 / DepthMap.cpp:1072-1101): each pixel picks
+        its stereo partner via nextStereoFrameMinID, so a single EPL sweep
+        maps every queued frame — this is what lets the async mapping
+        thread catch up to free-running tracking.
+
+        Inputs are parallel lists ordered by ascending frame id; all may be
+        device values. Batches pad to the next MULTI_REF_BUCKETS size by
+        replicating the newest frame (never selected); longer queues chunk
+        in groups of the largest bucket. Returns a stats dict of device
+        scalars (summed over chunks)."""
+        n = len(ref_imgs)
+        assert n == len(ref_to_kfs) == len(ref_ids) == len(good_masks) \
+            == len(tracking_residuals) and n >= 1
+        if n == 1:
+            return self.update_keyframe(kf_pyr, ref_imgs[0], ref_to_kfs[0],
+                                        ref_ids[0], good_masks[0],
+                                        tracking_residuals[0])
+        total = None
+        kmax = MULTI_REF_BUCKETS[-1]
+        for lo in range(0, n, kmax):
+            chunk = slice(lo, min(lo + kmax, n))
+            imgs = list(ref_imgs[chunk])
+            r2ks = [np.asarray(r, np.float32) for r in ref_to_kfs[chunk]]
+            ids = [float(i) for i in ref_ids[chunk]]
+            gms = list(good_masks[chunk])
+            trs = [float(t) for t in tracking_residuals[chunk]]
+            k = next(b for b in MULTI_REF_BUCKETS if b >= len(imgs))
+            while len(imgs) < k:  # pad: replicate newest (never selected)
+                imgs.append(imgs[-1])
+                r2ks.append(r2ks[-1])
+                ids.append(ids[-1])
+                gms.append(gms[-1])
+                trs.append(trs[-1])
+            skip_inc = max(
+                3.0, self.num_frames_tracked_on_this
+                / float(self.num_mapped_on_this + 5))
+            # multi-ref sweeps always use the FULL budget: a batch maps K
+            # frames of eligible pixels at once, and one budget per K keeps
+            # the compiled-program count at len(MULTI_REF_BUCKETS)
+            self.state, stats, export = self._observe_multi(
+                self.state, kf_pyr.images[0], kf_pyr.gx[0], kf_pyr.gy[0],
+                kf_pyr.max_grad[0], jnp.stack(imgs),
+                jnp.asarray(np.stack(r2ks)),
+                jnp.asarray(ids, jnp.float32), jnp.stack(gms),
+                jnp.asarray(trs, jnp.float32), jnp.float32(skip_inc),
+                point_budget=observe_budget_full(*self.state.idepth.shape))
+            self.last_active = stats["active"]
+            self._fresh_export = export
+            # one frame == one mapping unit (the reference's per-pop
+            # iteration count, SlamSystem.cpp:566-581) — a batched sweep
+            # consumes chunk-many at once
+            self.num_mapped_on_this += chunk.stop - chunk.start
+            total = stats if total is None else {
+                key: total[key] + stats[key] for key in stats}
+        return total
 
     def snapshot(self):
         """Cheap functional snapshot for speculative mapping dispatch —

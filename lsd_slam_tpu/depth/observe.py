@@ -89,7 +89,7 @@ def line_stereo(xs, ys, prior_idepth, min_idepth, max_idepth, epxn, epyn,
                 kf_img, kf_gx, kf_gy, ref_img,
                 kf_to_ref, ref_to_kf, tracking_error_fac,
                 cam: Camera, dcfg: DepthFilterConfig, mcfg: MappingConfig,
-                use_subpixel: bool):
+                use_subpixel: bool, k_sel=None):
     """Vectorized doLineStereo over an arbitrary point set.
 
     xs/ys: pixel coordinates of the points to process (any shape N...);
@@ -100,6 +100,14 @@ def line_stereo(xs, ys, prior_idepth, min_idepth, max_idepth, epxn, epyn,
     this sweep fast on TPU — gathers cost per row, so running the 38-sample
     lattice only on active semi-dense pixels (~15% of the grid) is the
     single biggest mapping optimization.
+
+    Multi-reference mode (k_sel not None): ref_img is a (K, H, W) stack,
+    kf_to_ref / ref_to_kf are (K, 7), tracking_error_fac is (K,), and
+    k_sel gives each point's reference-frame index — the per-pixel frame
+    choice of the reference's referenceFrameByID dispatch
+    (DepthMap.cpp:302-329): one mapping iteration consumes a whole queue
+    of tracked frames, every pixel doing stereo against the frame its
+    nextStereoFrameMinID selects.
     """
     # patch16 grouped sampling packs each 3-sample lattice triple (plus the
     # 2-px descriptor pair) into one 4x4 gather window; that only
@@ -111,22 +119,33 @@ def line_stereo(xs, ys, prior_idepth, min_idepth, max_idepth, epxn, epyn,
         "patch16_sample extrapolate with negative weights")
     h, w = kf_img.shape
 
-    R_k2r = lie.quat_to_matrix(kf_to_ref[0:4])
-    t_k2r = kf_to_ref[4:7]
-    t_r2k = ref_to_kf[4:7]
+    if k_sel is None:
+        R_k2r = lie.quat_to_matrix(kf_to_ref[0:4])          # (3, 3)
+        t_k2r = kf_to_ref[4:7]                              # (3,)
+        tef = tracking_error_fac
+    else:
+        R_all = jax.vmap(lie.quat_to_matrix)(kf_to_ref[:, 0:4])   # (K,3,3)
+        t_all = kf_to_ref[:, 4:7]                                 # (K,3)
+        R_k2r = R_all[k_sel]                                # (..., 3, 3)
+        t_k2r = t_all[k_sel]                                # (..., 3)
+        tef = tracking_error_fac[k_sel]
     K = jnp.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1.0]],
                   jnp.float32)
-    KR = jnp.matmul(K, R_k2r, precision=_HI)       # K_otherToThis_R
-    Kt = jnp.matmul(K, t_k2r, precision=_HI)       # K_otherToThis_t
+    # K_otherToThis_R / K_otherToThis_t, per point in multi mode
+    KR = jnp.matmul(K, R_k2r, precision=_HI)
+    Kt = jnp.matmul(t_k2r[..., None, :], jnp.transpose(K),
+                    precision=_HI)[..., 0, :] if k_sel is not None \
+        else jnp.matmul(K, t_k2r, precision=_HI)
 
     # KinvP = ray of the KF pixel
     kx = (xs - cam.cx) / cam.fx
     ky = (ys - cam.cy) / cam.fy
-    p_inf = jnp.stack([KR[i, 0] * kx + KR[i, 1] * ky + KR[i, 2]
-                       for i in range(3)], axis=-1)           # (h, w, 3)
+    p_inf = (KR[..., :, 0] * kx[..., None] + KR[..., :, 1] * ky[..., None]
+             + KR[..., :, 2])                               # (..., 3)
 
     safe_prior = jnp.maximum(prior_idepth, _DIV_EPS)
-    rescale = p_inf[..., 2] + Kt[2] * safe_prior   # == pReal_z * prior
+    Kt_z = Kt[..., 2]
+    rescale = p_inf[..., 2] + Kt_z * safe_prior   # == pReal_z * prior
 
     ok = jnp.ones(xs.shape, bool)
     code = jnp.zeros(xs.shape, jnp.int32)
@@ -162,7 +181,7 @@ def line_stereo(xs, ys, prior_idepth, min_idepth, max_idepth, epxn, epyn,
     p_close = p_inf + Kt * max_idepth[..., None]
     behind = p_close[..., 2] < 0.001
     max_idepth = jnp.where(behind, (0.001 - p_inf[..., 2]) / jnp.where(
-        Kt[2] == 0, _DIV_EPS, Kt[2]), max_idepth)
+        Kt_z == 0, _DIV_EPS, Kt_z), max_idepth)
     p_close = p_inf + Kt * max_idepth[..., None]
     pcz = _unzero(p_close[..., 2])
     p_close = p_close / pcz[..., None]
@@ -242,8 +261,19 @@ def line_stereo(xs, ys, prior_idepth, min_idepth, max_idepth, epxn, epyn,
           .reshape(n_groups, 3) - 2.0)                    # (G, 3)
     qx = pfx[..., None, None] + ms * incx[..., None, None]
     qy = pfy[..., None, None] + ms * incy[..., None, None]
-    ref_patch = patch16_pack(ref_img)
-    samp = patch16_sample(ref_patch, h, w, qx, qy)        # (..., G, 3)
+    if k_sel is None:
+        ref_patch = patch16_pack(ref_img)
+        samp = patch16_sample(ref_patch, h, w, qx, qy)    # (..., G, 3)
+    else:
+        # (K, h, w) stack flattened to one tall (K*h, w) image: a point's
+        # rows live at y + k_sel*h. Border masking keeps real samples >= 7
+        # px inside their own frame, so 4x4 patches never straddle frames;
+        # masked lattice tails may read a neighbor frame's pixels but are
+        # discarded by the in_search mask.
+        n_ref = ref_img.shape[0]
+        ref_patch = patch16_pack(ref_img.reshape(n_ref * h, w))
+        y_off = (k_sel * h).astype(jnp.float32)[..., None, None]
+        samp = patch16_sample(ref_patch, n_ref * h, w, qx, qy + y_off)
     samp = samp.reshape(samp.shape[:-2] + (n_groups * 3,))[..., :N_SAMPLES]
 
     ee = jnp.zeros(xs.shape + (MAX_STEPS,), jnp.float32)
@@ -349,19 +379,23 @@ def line_stereo(xs, ys, prior_idepth, min_idepth, max_idepth, epxn, epyn,
                     ERR_BIG)
 
     # ---- triangulate inverse depth in the KF (DepthMap.cpp:1872-1904) ----
-    dot0 = R_k2r[0, 0] * kx + R_k2r[0, 1] * ky + R_k2r[0, 2]
-    dot1 = R_k2r[1, 0] * kx + R_k2r[1, 1] * ky + R_k2r[1, 2]
-    dot2 = R_k2r[2, 0] * kx + R_k2r[2, 1] * ky + R_k2r[2, 2]
+    dot0 = (R_k2r[..., 0, 0] * kx + R_k2r[..., 0, 1] * ky
+            + R_k2r[..., 0, 2])
+    dot1 = (R_k2r[..., 1, 0] * kx + R_k2r[..., 1, 1] * ky
+            + R_k2r[..., 1, 2])
+    dot2 = (R_k2r[..., 2, 0] * kx + R_k2r[..., 2, 1] * ky
+            + R_k2r[..., 2, 2])
+    t0_, t1_, t2_ = t_k2r[..., 0], t_k2r[..., 1], t_k2r[..., 2]
 
     use_x = incx * incx > incy * incy
     old_x = best_x / cam.fx - cam.cx / cam.fx
     old_y = best_y / cam.fy - cam.cy / cam.fy
-    nom_x = _unzero(old_x * t_k2r[2] - t_k2r[0])
-    nom_y = _unzero(old_y * t_k2r[2] - t_k2r[1])
+    nom_x = _unzero(old_x * t2_ - t0_)
+    nom_y = _unzero(old_y * t2_ - t1_)
     id_x = (dot0 - old_x * dot2) / nom_x
     id_y = (dot1 - old_y * dot2) / nom_y
-    alpha_x = incx / cam.fx * (dot0 * t_k2r[2] - dot2 * t_k2r[0]) / (nom_x * nom_x)
-    alpha_y = incy / cam.fy * (dot1 * t_k2r[2] - dot2 * t_k2r[1]) / (nom_y * nom_y)
+    alpha_x = incx / cam.fx * (dot0 * t2_ - dot2 * t0_) / (nom_x * nom_x)
+    alpha_y = incy / cam.fy * (dot1 * t2_ - dot2 * t1_) / (nom_y * nom_y)
     idepth_new = jnp.where(use_x, id_x, id_y)
     alpha = jnp.where(use_x, alpha_x, alpha_y)
 
@@ -371,7 +405,7 @@ def line_stereo(xs, ys, prior_idepth, min_idepth, max_idepth, epxn, epyn,
     # ---- variance model (DepthMap.cpp:1911-1930) ----
     photo_err = 4.0 * mcfg.camera_pixel_noise2 / (gal + _DIV_EPS)
     geo_dot = kf_gx * epxn + kf_gy * epyn + _DIV_EPS
-    geo_err = (tracking_error_fac * tracking_error_fac
+    geo_err = (tef * tef
                * (kf_gx * kf_gx + kf_gy * kf_gy) / (geo_dot * geo_dot))
     disc = jnp.where(did_sub, 0.05, 0.5) * sample_dist * sample_dist
     result_var = alpha * alpha * (disc + geo_err + photo_err)
@@ -459,6 +493,18 @@ def observe(state: DepthMapState, kf_img, kf_gx, kf_gy, kf_max_grad,
     r_var = scatter(var_k, 0.0)
     r_epl = scatter(epl_k, 1e9)
 
+    return _fuse_results(state, code, r_idepth, r_var, r_epl, can_update,
+                         can_create, epl_ok, kf_max_grad, ref_frame_id,
+                         skip_inc, dcfg, process, valid_k)
+
+
+def _fuse_results(state, code, r_idepth, r_var, r_epl, can_update,
+                  can_create, epl_ok, kf_max_grad, ref_id_grid, skip_inc,
+                  dcfg, process, valid_k):
+    """Create/EKF-update/fail lattice shared by the single- and multi-ref
+    observe sweeps (observeDepthCreate / observeDepthUpdate,
+    DepthMap.cpp:237-470). ref_id_grid is the observing frame's id — a
+    scalar in single-ref mode, per-pixel in multi-ref mode."""
     success = code == OK
 
     # ---------------- create path (DepthMap.cpp:237-292) ----------------
@@ -512,7 +558,7 @@ def observe(state: DepthMapState, kf_img, kf_gx, kf_gy, kf_max_grad,
     short_epl = r_epl < dcfg.min_epl_length_crop
     inc = skip_inc + jnp.mod((r_epl * 10000.0).astype(jnp.int32), 2).astype(jnp.float32)
     inc = jnp.where(r_epl < 0.5 * dcfg.min_epl_length_crop, inc * 3.0, inc)
-    new_next_min = jnp.where(upd_success & short_epl, ref_frame_id + inc,
+    new_next_min = jnp.where(upd_success & short_epl, ref_id_grid + inc,
                              jnp.where(upd_fail, 0.0, state.next_min_id))
 
     new_state = state.replace(
@@ -535,3 +581,139 @@ def observe(state: DepthMapState, kf_img, kf_gx, kf_gy, kf_max_grad,
         processed=jnp.sum(valid_k),
     )
     return new_state, stats
+
+
+def make_epl_multi(t_r2k_stack, kf_img, cam: Camera, cfg: DepthFilterConfig):
+    """Per-frame epipolar directions/validity for a K-stack of reference
+    frames: makeAndCheckEPL (DepthMap.cpp:184-234) vectorized over the
+    frame axis, with the keyframe gradient computed once."""
+    h, w = kf_img.shape
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    tx = t_r2k_stack[:, 0][:, None, None]
+    ty = t_r2k_stack[:, 1][:, None, None]
+    tz = t_r2k_stack[:, 2][:, None, None]
+    epx = -cam.fx * tx + tz * (xs - cam.cx)[None]          # (K, h, w)
+    epy = -cam.fy * ty + tz * (ys - cam.cy)[None]
+    finite = jnp.isfinite(epx + epy)
+
+    lsq = epx * epx + epy * epy
+    ok_len = lsq >= cfg.min_epl_length_squared
+
+    gx = jnp.zeros_like(kf_img).at[:, 1:-1].set(kf_img[:, 2:] - kf_img[:, :-2])
+    gy = jnp.zeros_like(kf_img).at[1:-1, :].set(kf_img[2:, :] - kf_img[:-2, :])
+    dot = gx[None] * epx + gy[None] * epy
+    safe_lsq = jnp.maximum(lsq, _DIV_EPS)
+    egs = dot * dot / safe_lsq
+    ok_grad = egs >= cfg.min_epl_grad_squared
+    ok_angle = (egs / jnp.maximum(gx * gx + gy * gy, _DIV_EPS)[None]
+                >= cfg.min_epl_angle_squared)
+
+    fac = cfg.gradient_sample_dist / jnp.sqrt(safe_lsq)
+    return (epx * fac, epy * fac), (finite & ok_len & ok_grad & ok_angle)
+
+
+def observe_multi(state: DepthMapState, kf_img, kf_gx, kf_gy, kf_max_grad,
+                  ref_stack, ref_to_kf, ref_ids, good_masks,
+                  tracking_residuals, skip_inc,
+                  cam: Camera, dcfg: DepthFilterConfig, mcfg: MappingConfig,
+                  reactivated: bool = False, point_budget: int = 0):
+    """One observation sweep against a QUEUE of tracked frames.
+
+    The TPU equivalent of updateKeyframe draining the whole
+    unmappedTrackedFrames deque into one depth update
+    (SlamSystem.cpp:542-571; DepthMap::updateKeyframe takes the full
+    vector, DepthMap.cpp:1072-1101): each pixel picks its reference frame
+    like referenceFrameByID — the oldest queued frame whose id satisfies
+    the pixel's nextStereoFrameMinID (DepthMap.cpp:302-319); creation uses
+    the oldest frame, reactivated keyframes the newest (DepthMap.cpp:244,
+    316). One EPL sweep maps the entire queue, which is what lets the
+    mapping thread catch up to free-running tracking.
+
+    ref_stack (K, h, w); ref_to_kf (K, 7); ref_ids (K,) non-decreasing;
+    good_masks (K, h, w) bool; tracking_residuals (K,). Padding slots must
+    replicate the LAST (newest) frame — selection then never picks them.
+    Returns (new_state, stats)."""
+    n_ref, h, w = ref_stack.shape
+    if point_budget <= 0:
+        point_budget = max(8192, -(-(h * w) // 6 // 8192) * 8192)
+    kf_to_ref = jax.vmap(lie.se3_inverse)(ref_to_kf)
+
+    (epx_all, epy_all), epl_ok_all = make_epl_multi(
+        ref_to_kf[:, 4:7], kf_img, cam, dcfg)
+
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    interior = ((ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3))
+    grad_ok = kf_max_grad >= mcfg.min_use_grad
+
+    # --- per-pixel reference-frame selection (DepthMap.cpp:302-319) ---
+    if reactivated:
+        k_upd = jnp.full((h, w), n_ref - 1, jnp.int32)
+        has_upd = jnp.ones((h, w), bool)
+        k_create = n_ref - 1
+    else:
+        cmp = ref_ids[:, None, None] >= state.next_min_id[None]   # (K,h,w)
+        k_upd = jnp.argmax(cmp, axis=0).astype(jnp.int32)
+        has_upd = cmp[n_ref - 1]  # newest id >= next_min_id
+        k_create = 0
+    good_upd = jnp.take_along_axis(good_masks, k_upd[None], axis=0)[0]
+    can_update = state.valid & interior & grad_ok & good_upd & has_upd
+    can_create = ((~state.valid) & interior & grad_ok
+                  & good_masks[k_create]
+                  & (state.blacklisted >= dcfg.min_blacklist))
+    k_sel_grid = jnp.where(can_update, k_upd, jnp.int32(k_create))
+    epl_ok = jnp.take_along_axis(epl_ok_all, k_sel_grid[None], axis=0)[0]
+
+    # priors (same as single-ref observe)
+    sv = jnp.sqrt(jnp.maximum(state.var_smoothed, 0.0))
+    upd_prior = state.idepth_smoothed
+    upd_min = jnp.clip(upd_prior - sv * dcfg.stereo_epl_var_fac, 0.0, None)
+    upd_max = jnp.minimum(upd_prior + sv * dcfg.stereo_epl_var_fac,
+                          1.0 / dcfg.min_depth)
+    prior = jnp.where(can_update, upd_prior, 1.0)
+    min_id = jnp.where(can_update, upd_min, 0.0)
+    max_id = jnp.where(can_update, upd_max, 1.0 / dcfg.min_depth)
+
+    # ---- compact the active set (fixed budget) ----
+    n_pix = h * w
+    process = (can_update | can_create) & epl_ok
+    shift = jnp.mod((ref_ids[n_ref - 1] * 37831.0), n_pix).astype(jnp.int32)
+    rolled = jnp.roll(process.reshape(-1), shift)
+    idx_r = jnp.nonzero(rolled, size=point_budget, fill_value=-1)[0]
+    valid_k = idx_r >= 0
+    flat_idx = jnp.where(valid_k, jnp.mod(idx_r - shift, n_pix), 0)
+
+    def take(a):
+        return a.reshape(-1)[flat_idx]
+
+    xs_k = (flat_idx % w).astype(jnp.float32)
+    ys_k = (flat_idx // w).astype(jnp.float32)
+    k_sel_pt = take(k_sel_grid)
+    epx_pt = epx_all.reshape(-1)[k_sel_pt * n_pix + flat_idx]
+    epy_pt = epy_all.reshape(-1)[k_sel_pt * n_pix + flat_idx]
+
+    tef = 0.25 * (1.0 + tracking_residuals)                    # (K,)
+    code_k, id_k, var_k, epl_k, _ = line_stereo(
+        xs_k, ys_k, take(prior), take(min_id), take(max_id),
+        epx_pt, epy_pt, kf_img, take(kf_gx), take(kf_gy), ref_stack,
+        kf_to_ref, ref_to_kf, tef, cam, dcfg, mcfg,
+        mcfg.use_subpixel_stereo, k_sel=k_sel_pt)
+
+    # ---- scatter results back (sentinel code for untouched) ----
+    SKIP = jnp.int32(-100)
+    tgt = jnp.where(valid_k, flat_idx, n_pix)
+
+    def scatter(vals, fill, dtype=jnp.float32):
+        buf = jnp.full((n_pix + 1,), fill, dtype)
+        return buf.at[tgt].set(vals)[:n_pix].reshape(h, w)
+
+    code = scatter(code_k, SKIP, jnp.int32)
+    r_idepth = scatter(id_k, 0.0)
+    r_var = scatter(var_k, 0.0)
+    r_epl = scatter(epl_k, 1e9)
+
+    ref_id_grid = ref_ids[k_sel_grid]
+    return _fuse_results(state, code, r_idepth, r_var, r_epl, can_update,
+                         can_create, epl_ok, kf_max_grad, ref_id_grid,
+                         skip_inc, dcfg, process, valid_k)

@@ -70,12 +70,21 @@ class MappingThread:
                 if self.queue.size() == 0:
                     self._idle.set()
                 continue
+            # drain EVERYTHING queued into ONE mapping iteration — the
+            # reference's whole-deque updateKeyframe (SlamSystem.cpp:
+            # 542-571): a single multi-ref observe sweep maps the entire
+            # batch, which is what lets this thread catch up to
+            # free-running tracking instead of falling ever further behind
+            batch = [tracked]
+            while True:
+                nxt = self.queue.pop(0.0)
+                if nxt is None:
+                    break
+                batch.append(nxt)
+            sys.stats.bump("mapping_batches")
+            sys.stats.high_water("mapping_batch_max", len(batch))
             try:
-                # pass the popped frame explicitly — latest_tracked belongs
-                # to the tracking thread; writing it here could overwrite a
-                # fresher frame published between pop and mapping, making a
-                # keyframe promotion pick a stale frame
-                sys.do_mapping_iteration(tracked)
+                sys.do_mapping_iteration_batch(batch)
             finally:
                 if self.queue.size() == 0:
                     self._idle.set()

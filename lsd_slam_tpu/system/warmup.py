@@ -92,13 +92,15 @@ def warmup(cam: Camera, cfg: LSDConfig, enable_slam: bool = True,
         kf = sys_.current_keyframe
         st = sys_.map.state
         img, _ = synth.render(scene, cam, jnp.asarray(pose(fid)))
-        scalars = np.zeros(9, np.float32)
-        scalars[0] = 1.0  # identity quaternion
+        init7 = np.zeros(7, np.float32)
+        init7[0] = 1.0  # identity quaternion
+        extras2 = np.zeros(2, np.float32)
         for b in observe_budget_buckets(cfg.height, cfg.width):
             out = sys_._frame_step(
                 st, kf.tracking_ref, kf.pyr.images[0], kf.pyr.gx[0],
                 kf.pyr.gy[0], kf.pyr.max_grad[0],
-                jnp.asarray(img, jnp.float32), scalars, point_budget=b)
+                jnp.asarray(img, jnp.float32), init7, extras2,
+                point_budget=b)
             jax.block_until_ready(out[4])
             out2 = sys_.map._observe(
                 st, kf.pyr.images[0], kf.pyr.gx[0], kf.pyr.gy[0],
@@ -108,6 +110,24 @@ def warmup(cam: Camera, cfg: LSDConfig, enable_slam: bool = True,
                 jnp.ones_like(kf.pyr.images[0], dtype=bool),
                 jnp.float32(1.0), jnp.float32(3.0), point_budget=b)
             jax.block_until_ready(out2[1]["active"])
+        # multi-ref queue-drain sweeps (async thread mode): one program
+        # per K bucket at the full budget
+        from lsd_slam_tpu.depth.depth_map import (MULTI_REF_BUCKETS,
+                                                  observe_budget_full)
+        ident = jnp.asarray(np.array([1, 0, 0, 0, 0, 0, 0], np.float32))
+        gm_min = jnp.ones((cfg.height >> cfg.tracker.min_level,
+                           cfg.width >> cfg.tracker.min_level), dtype=bool)
+        for k in MULTI_REF_BUCKETS:
+            out3 = sys_.map._observe_multi(
+                st, kf.pyr.images[0], kf.pyr.gx[0], kf.pyr.gy[0],
+                kf.pyr.max_grad[0],
+                jnp.stack([kf.pyr.images[0]] * k),
+                jnp.stack([ident] * k),
+                jnp.asarray([1.0] * k, jnp.float32),
+                jnp.stack([gm_min] * k),
+                jnp.ones((k,), jnp.float32), jnp.float32(3.0),
+                point_budget=observe_budget_full(cfg.height, cfg.width))
+            jax.block_until_ready(out3[1]["active"])
     t_buckets = time.perf_counter()
 
     reloc_ok = False

@@ -27,6 +27,11 @@ class RunningStats:
     def bump(self, key: str, n: float = 1):
         self.counters[key] += n
 
+    def high_water(self, key: str, value: float):
+        """Keep the maximum seen (queue depths, batch sizes)."""
+        if value > self.counters[key]:
+            self.counters[key] = value
+
     def snapshot(self) -> Dict[str, float]:
         return dict(self.counters)
 

@@ -222,20 +222,31 @@ def main():
         results.append(json.loads(line[-1]))
 
     r1, rn = results
+    nd = rn["devices"]
+    slower_cg = rn["pgo_step_ms"] / max(r1["pgo_step_ms"], 1e-9)
+    slower_dense = (rn["pgo_dense_step_ms"]
+                    / max(r1["pgo_dense_step_ms"], 1e-9))
     with open("SCALING.md", "w") as f:
         f.write(
             "# Back-end scaling: 1 vs N devices\n\n"
-            f"Measured on {rn['devices']} virtual CPU devices "
+            f"Measured on {nd} virtual CPU devices "
             "(`--xla_force_host_platform_device_count`) on this host "
             "(2 physical vCPUs). On a TPU pod slice the same programs "
-            "shard over chips with collectives riding ICI; wall-clock "
-            "speedup here is bounded by the host's physical core count, "
-            "so the honest signals are (a) the sharded paths run "
-            "correctly at both mesh sizes, (b) per-device work drops by "
-            "N, and (c) nothing REGRESSES when the mesh turns on — the "
-            "round-3 dense-PGO psum of the full (N,N,7,7) H was 2.2x "
-            "slower at 8 devices and is now an all_gather of per-edge "
-            "blocks (O(E*49) traffic, parallel/distributed.py).\n\n"
+            "shard over chips with collectives riding ICI; this host "
+            "cannot show that speedup — an N-way virtual mesh on 2 cores "
+            "adds partitioning and collective overhead without adding "
+            "compute. The table below is the HONEST record of that: the "
+            f"component steps REGRESS when distributed here ({slower_cg:.1f}x "
+            f"slower CG step, {slower_dense:.1f}x slower dense step at "
+            f"{nd} virtual devices). That measured crossover is exactly "
+            "why the engine gates distribution on size "
+            "(`PoseGraph.mesh_min_edges`, "
+            "`KeyFrameGraph.mesh_min_lanes_per_device`): with the default "
+            "gates the live engine takes the single-device paths at these "
+            "graph sizes even when a mesh is configured, so the ENGINE "
+            "row shows parity — the distributed paths stay correct "
+            "(tests force the gates to 0) and per-device work drops by N, "
+            "which is what transfers to real chips.\n\n"
             "| metric | 1 device | "
             f"{rn['devices']} devices |\n|---|---|---|\n"
             f"| distributed PGO CG step ({N_VERTICES} vtx, {N_EDGES} "
@@ -262,11 +273,13 @@ def main():
             "mapping + constraint search + PGO) on the same synthetic "
             "loop at both mesh sizes; back-end seconds is time inside "
             "on_new_keyframe (candidate search, Sim3 verification, PGO "
-            "slices) — the component the mesh actually shards. On 2 "
-            "physical cores an 8-way virtual mesh adds partition/"
-            "collective overhead without adding compute, so parity "
-            "(not speedup) between the columns is the expected-good "
-            "result here; real speedup requires real chips.\n")
+            "slices). Because the size gates keep distribution off below "
+            "the measured crossover, parity between the ENGINE columns is "
+            "the expected-good result on this host — a regression there "
+            "would mean the gates failed. Real speedup requires real "
+            "chips and graphs past the gate sizes (>= "
+            "`mesh_min_edges` = 1024 edges for PGO, >= 4 candidates per "
+            "device for quick-track batches).\n")
     print(json.dumps({"results": results}))
     print("wrote SCALING.md")
 

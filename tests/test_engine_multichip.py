@@ -52,6 +52,7 @@ def test_posegraph_mesh_matches_single_device():
     pg_single = PoseGraph(mesh=None)
     _loop_graph(pg_single, 17, np.random.default_rng(3))
     pg_mesh = PoseGraph(mesh=make_mesh(8))
+    pg_mesh.mesh_min_edges = 0  # force the collective path at toy size
     _loop_graph(pg_mesh, 17, np.random.default_rng(3))
 
     for _ in range(4):
@@ -72,6 +73,7 @@ def test_posegraph_mesh_reduces_chi2_large_graph():
     step; the graph must still converge toward ground truth."""
     rng = np.random.default_rng(5)
     pg = PoseGraph(mesh=make_mesh(8))
+    pg.mesh_min_edges = 0   # force the collective path at toy size
     pg.dense_threshold = 8  # force the CG path without a 320-vertex graph
     gt = _loop_graph(pg, 40, rng)
     before = max(np.linalg.norm(pg.poses[i][4:7] - gt[i][4:7])

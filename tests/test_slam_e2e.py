@@ -216,3 +216,74 @@ def test_promotion_uses_latest_tracked_not_popped(loop_seq):
         sys.current_keyframe.id, stale.id, fresh.id)
     # and latest_tracked was not clobbered by the mapping call
     assert sys.latest_tracked is fresh
+
+
+def test_pipelined_mode_matches_blocking(loop_seq):
+    """pipeline_lag > 0 keeps frames in flight and retires host decisions
+    late, but the per-frame device math is the same chained program — the
+    trajectory must stay as accurate as blocking mode and the map must
+    build the same way (keyframes within one switch of each other)."""
+    cam, imgs, deps, gt = loop_seq
+    sys_b = SlamSystem(cam, slam_config(), enable_slam=True)
+    sys_b.gt_depth_init(imgs[0], deps[0], 0, 0.0)
+    for i in range(1, N):
+        sys_b.track_frame(imgs[i], i, i / 30.0)
+    sys_b.finalize()
+
+    cfg = slam_config()
+    cfg = cfg.replace(system=dataclasses.replace(cfg.system, pipeline_lag=3))
+    sys_p = SlamSystem(cam, cfg, enable_slam=True)
+    sys_p.gt_depth_init(imgs[0], deps[0], 0, 0.0)
+    for i in range(1, N):
+        sys_p.track_frame(imgs[i], i, i / 30.0)
+    sys_p.finalize()
+
+    assert sys_p.tracking_is_good
+    # every frame retired exactly once
+    assert len(sys_p.all_frame_poses) == len(sys_b.all_frame_poses)
+    err_b = ate_rmse(sys_b.trajectory_array(), gt)
+    err_p = ate_rmse(sys_p.trajectory_array(), gt)
+    assert err_p < max(2.0 * err_b, 0.02), (err_p, err_b)
+    assert abs(len(sys_p.keyframes) - len(sys_b.keyframes)) <= 2, \
+        (len(sys_p.keyframes), len(sys_b.keyframes))
+    # pipelined mode must still close the loop
+    assert sys_p.backend.graph.pose_graph.n_edges >= len(sys_p.keyframes) - 1
+
+
+def test_pipelined_mode_is_deterministic(loop_seq):
+    """Fixed lag => fixed retire schedule => identical trajectories across
+    runs (the determinism the reference explicitly lacks, README.md:241)."""
+    cam, imgs, deps, gt = loop_seq
+    cfg = slam_config()
+    cfg = cfg.replace(system=dataclasses.replace(cfg.system, pipeline_lag=2))
+    trajs = []
+    for _ in range(2):
+        s = SlamSystem(cam, cfg, enable_slam=True)
+        s.gt_depth_init(imgs[0], deps[0], 0, 0.0)
+        for i in range(1, N):
+            s.track_frame(imgs[i], i, i / 30.0)
+        s.finalize()
+        trajs.append(s.trajectory_array())
+    assert trajs[0].shape == trajs[1].shape
+    assert np.max(np.abs(trajs[0] - trajs[1])) < 1e-12
+
+
+def test_pipelined_loss_rolls_back_ring(loop_seq):
+    """Manual loss while frames are in flight must discard the ring,
+    restore the pre-loss depth state, and recover via relocalization."""
+    cam, imgs, deps, gt = loop_seq
+    cfg = slam_config()
+    cfg = cfg.replace(system=dataclasses.replace(cfg.system, pipeline_lag=3))
+    sys = SlamSystem(cam, cfg, enable_slam=True)
+    sys.gt_depth_init(imgs[0], deps[0], 0, 0.0)
+    for i in range(1, N):
+        sys.track_frame(imgs[i], i, i / 30.0)
+    assert sys.tracking_is_good
+    sys.manual_tracking_loss = True
+    for j, i in enumerate(range(N - 2, N // 2, -1)):
+        sys.track_frame(imgs[i], N + 1 + j, (N + 1 + j) / 30.0)
+        if sys.tracking_is_good:
+            break
+    assert not sys._ring  # ring cleared by the loss
+    assert sys.tracking_is_good, "no recovery after pipelined loss"
+    assert sys.stats.counters.get("relocalized", 0) >= 1
