@@ -134,11 +134,13 @@ def run_slam(cam, imgs, dep0, gt_poses, cfg, enable_slam=True):
                   if sys_.current_keyframe is not None else kf_id)
         switched.append(new_id != kf_id)
         kf_id = new_id
+    t_frames = time.perf_counter()
     sys_.block_until_mapped(120.0)
     if sys_.backend is not None:
         sys_.backend.wait_until_drained(120.0)
     device_sync()
     total_s = time.perf_counter() - t_start
+    sys_._bench_drain_s = total_s - (t_frames - t_start)
     return sys_, np.asarray(frame_ms), np.asarray(switched), total_s
 
 
@@ -160,6 +162,8 @@ def run_health(sys_, poses):
         tracked=int(c.get("frames_tracked", 0)),
         tracking_good=bool(sys_.tracking_is_good),
         reinits=int(c.get("reinitialized_after_loss", 0)),
+        created=int(c.get("keyframes_created", 0)),
+        reactivated=int(c.get("keyframes_reactivated", 0)),
         queue_drops=int(sys_.mapping_thread.queue.dropped
                         if sys_.mapping_thread is not None else 0),
         mapping_batch_max=int(c.get("mapping_batch_max", 0)),
@@ -215,6 +219,11 @@ def main():
     sys_seq.finalize()
     ate_after = ate_rmse(sys_seq.optimized_trajectory_array(),
                          poses[:len(sys_seq.all_frame_poses)])
+    if sys_seq.backend is not None and sys_seq.backend._graph is not None:
+        pg = sys_seq.backend.graph.pose_graph
+        if pg.chi2_initial is not None:
+            extras["pgo_chi2_initial"] = round(float(pg.chi2_initial), 1)
+            extras["pgo_chi2_final"] = round(float(pg.chi2_final), 1)
 
     # ---- timed PRODUCTION run: pipelined frame loop + constraint/PGO
     # worker threads. Run TWICE and report the second: the worker threads
@@ -228,6 +237,9 @@ def main():
         cam, imgs, dep0, poses, base_config(mode="pipelined"))
     pipe_fps = (N_FRAMES - 1) / total_p
     extras["pipelined_fps"] = round(pipe_fps, 2)
+    extras["pipe_drain_s"] = round(sys_pipe._bench_drain_s, 2)
+    for stage in sorted(sys_pipe.timers.n):
+        extras[f"pipe_ms_{stage}"] = round(sys_pipe.timers.median(stage), 2)
     extras["pipeline_lag"] = PIPE_LAG
     latency_extras(extras, "pipe", fms_p, sw_p)
     pipe_health = run_health(sys_pipe, poses)

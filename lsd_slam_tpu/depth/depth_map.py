@@ -238,10 +238,20 @@ def get_depth_programs(cam: Camera, cfg: LSDConfig) -> DepthPrograms:
                                   dcfg, mcfg.depth_smoothing_factor).canonical()
 
 
+    from lsd_slam_tpu.utils.aot_cache import aot_wrap
+    ctx = repr((cam, cfg))
     return DepthPrograms(
-        observe=_observe, observe_multi=_observe_multi, create_kf=_create_kf,
-        finalize=_finalize, init_random=_init_random, init_gt=_init_gt,
-        export=_export, set_from_existing=_set_from_existing)
+        observe=aot_wrap("observe", _observe,
+                         static_argnames=("point_budget",), context=ctx),
+        observe_multi=aot_wrap("observe_multi", _observe_multi,
+                               static_argnames=("point_budget",),
+                               context=ctx),
+        create_kf=aot_wrap("create_kf", _create_kf,
+                           static_argnames=("have_good_mask",), context=ctx),
+        finalize=aot_wrap("finalize_kf", _finalize, context=ctx),
+        init_random=_init_random, init_gt=_init_gt, export=_export,
+        set_from_existing=aot_wrap("set_from_existing", _set_from_existing,
+                                   context=ctx))
 
 
 class DepthMap:
@@ -413,7 +423,7 @@ class DepthMap:
         self.state, rescale = self._create_kf(
             self.state, jnp.asarray(old_to_new), jnp.asarray(old_kf_img),
             new_pyr.images[0], new_pyr.max_grad[0], jnp.asarray(good_mask),
-            bool(have_good_mask))
+            have_good_mask=bool(have_good_mask))
         self.num_frames_tracked_on_this = 0
         self.num_mapped_on_this = 0
         self.last_active = None

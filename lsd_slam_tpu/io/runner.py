@@ -35,11 +35,46 @@ def parse_args(argv):
             # device-truthful profiling: per-stage timers block until the
             # device drains, and a jax.profiler trace lands in the dir
             args["profile"] = a[8:]
+        elif a.startswith("multihost:"):
+            # multihost:<rank>:<world>[:<coord_port>[:<chan_port>]] —
+            # rank 0 runs the dataset with the engine's candidate search
+            # and PGO fanned out across processes; ranks >= 1 serve
+            args["multihost"] = a[10:]
+        elif a.startswith("pipeline:"):
+            args["pipeline"] = int(a[9:])
         elif a == "vo":
             args["vo"] = True
         elif a == "dump":
             args["dump"] = True
     return args
+
+
+def _parse_multihost(spec: str):
+    parts = spec.split(":")
+    rank, world = int(parts[0]), int(parts[1])
+    coord_port = int(parts[2]) if len(parts) > 2 else 47211
+    chan_port = int(parts[3]) if len(parts) > 3 else coord_port + 1
+    return rank, world, coord_port, chan_port
+
+
+def bringup_multihost(spec: str, cam, cfg, local_device_count=None):
+    """Initialize jax.distributed + the host channel for `spec` =
+    '<rank>:<world>[:<coord_port>[:<chan_port>]]'.
+
+    Rank 0 returns a MultihostFrontend to pass into SlamSystem; other
+    ranks SERVE until the frontend stops them, then return None (the
+    caller should exit)."""
+    from lsd_slam_tpu.parallel.multihost import init_multihost, HostChannel
+    from lsd_slam_tpu.parallel import multihost_engine
+
+    rank, world, coord_port, chan_port = _parse_multihost(spec)
+    init_multihost(f"127.0.0.1:{coord_port}", world, rank,
+                   local_device_count=local_device_count)
+    channel = HostChannel(rank, world, port=chan_port, timeout=120.0)
+    if rank == 0:
+        return multihost_engine.MultihostFrontend(channel, cam, cfg)
+    multihost_engine.serve(channel)
+    return None
 
 
 def main(argv=None):
@@ -65,6 +100,16 @@ def main(argv=None):
         import dataclasses
         cfg = cfg.replace(
             system=dataclasses.replace(cfg.system, profile_sync=True))
+    if args.get("pipeline"):
+        import dataclasses
+        cfg = cfg.replace(system=dataclasses.replace(
+            cfg.system, pipeline_lag=args["pipeline"]))
+    multihost = None
+    if args.get("multihost"):
+        multihost = bringup_multihost(args["multihost"], cam, cfg)
+        if multihost is None:
+            print("multihost worker done", flush=True)
+            return
     if args["resume"]:
         from lsd_slam_tpu.io.checkpoint import load_system
         system = load_system(args["resume"], cfg,
@@ -72,7 +117,8 @@ def main(argv=None):
         print(f"resumed from {args['resume']}: "
               f"{len(system.keyframes)} keyframes", flush=True)
     else:
-        system = SlamSystem(cam, cfg, enable_slam=not args["vo"])
+        system = SlamSystem(cam, cfg, enable_slam=not args["vo"],
+                            multihost=multihost)
     out = FileOutput3DWrapper(args["out"], cam=cam)
     system.set_visualization(out)
 

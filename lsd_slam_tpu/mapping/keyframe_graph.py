@@ -93,15 +93,25 @@ class KeyFrameGraph:
                 self.mesh, self.quick_tracker)
             self._sharded_frames = parallel.sharded_quick_track_frames(
                 self.mesh, self.quick_tracker)
+        # multi-host frontend (rank 0): keyframe-partitioned quick-track
+        # fan-out + cross-process SPMD PGO (SURVEY 7 T6)
+        self.multihost = getattr(system, "multihost", None)
+        if self.multihost is not None:
+            self.pose_graph.multihost = self.multihost
 
     # ------------------------------------------------------------ permaref
 
     def set_permaref(self, kf):
         """Snapshot the keyframe's level-4 point set + quad layout
         (== Frame::setPermaRef called from finishCurrentKeyframe,
-        SlamSystem.cpp:404-405). Tiny (~130 KB at 640x480), stays in HBM."""
+        SlamSystem.cpp:404-405). Tiny (~130 KB at 640x480), stays in HBM.
+        In multi-host mode the snapshot is also mirrored to every worker
+        process — that replicated permaRef store is what lets candidate
+        batches partition across hosts."""
         l = self.quick_tracker.level
         self._permaref[kf.id] = (kf.tracking_ref.pts[l], kf.pyr.quad[l])
+        if self.multihost is not None:
+            self.multihost.add_kf(kf.id, *self._permaref[kf.id])
 
     def _get_permaref(self, kf):
         if kf.id not in self._permaref:
@@ -127,11 +137,22 @@ class KeyFrameGraph:
             use_mesh = self._use_mesh_batch(n)
         return pad_to_mesh(n, self.mesh if use_mesh else None)
 
-    def _batch_track_refs(self, pts_list, frame_quad, inits):
+    def _multihost_ready(self, kf_ids) -> bool:
+        mh = self.multihost
+        return (mh is not None and kf_ids is not None
+                and len(kf_ids) >= mh.min_candidates
+                and all(mh.has_kf(i) for i in kf_ids))
+
+    def _batch_track_refs(self, pts_list, frame_quad, inits, kf_ids=None):
         """Quick-track one frame against N keyframe point sets in one
         bucketed batch (sharded over the mesh when the batch is big enough
-        to pay for it). Returns host (ref_to_frame (N,7), good (N,),
-        usage, good_count, bad_count)."""
+        to pay for it; fanned out across HOSTS by keyframe partition when
+        a multihost frontend is attached and kf_ids identify mirrored
+        permaRefs). Returns host (ref_to_frame (N,7), good (N,), usage,
+        good_count, bad_count)."""
+        if self._multihost_ready(kf_ids):
+            return self.multihost.quick_refs(frame_quad, list(kf_ids),
+                                             np.asarray(inits, np.float32))
         n = len(pts_list)
         use_mesh = self._use_mesh_batch(n)
         b = self._pad_batch(n, use_mesh)
@@ -150,9 +171,13 @@ class KeyFrameGraph:
                    res.good_count, res.bad_count)
         return tuple(np.asarray(o)[:n] for o in out)
 
-    def _batch_track_frames(self, ref_pts, quads_list, inits):
+    def _batch_track_frames(self, ref_pts, quads_list, inits, kf_ids=None):
         """Quick-track ONE reference against N frame quad layouts (the
-        reciprocal direction), bucketed/sharded like _batch_track_refs."""
+        reciprocal direction), bucketed/sharded/fanned-out like
+        _batch_track_refs."""
+        if self._multihost_ready(kf_ids):
+            return self.multihost.quick_frames(ref_pts, list(kf_ids),
+                                               np.asarray(inits, np.float32))
         n = len(quads_list)
         use_mesh = self._use_mesh_batch(n)
         b = self._pad_batch(n, use_mesh)
@@ -480,12 +505,22 @@ class KeyFrameGraph:
         for stage, (ls, le) in enumerate(((4, 3), (2, 2), (1, 1))):
             m = len(live)
             pad = self._pad_batch(m)
-            idxs = live + [live[0]] * (pad - m)
-            refs = [cands[i].sim3_ref for i in idxs]
+            refs = [cands[i].sim3_ref for i in live]
+            if pad > m:
+                # dead padding lanes get ZERO point sets: they diverge on
+                # the first LM iteration instead of running a live
+                # candidate's full schedule in lockstep (padding with
+                # live[0] copies made a bucket-8 batch of 2 survivors cost
+                # 4x its useful work)
+                zero_ref = jax.tree_util.tree_map(jnp.zeros_like, refs[0])
+                refs = refs + [zero_ref] * (pad - m)
             stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
                                              *refs)
-            c_to_f = np.stack([c_to_f_all[i] for i in idxs])
-            f_to_c = np.stack([f_to_c_all[i] for i in idxs])
+            ident = nps.sim3_identity()
+            c_to_f = np.stack([c_to_f_all[i] for i in live]
+                              + [ident] * (pad - m))
+            f_to_c = np.stack([f_to_c_all[i] for i in live]
+                              + [ident] * (pad - m))
             res_ba = self.sim3_tracker.track_batch_frames(
                 new_ref, stacked, np.asarray(c_to_f, np.float32), ls, le)
             res_ab = self.sim3_tracker.track_batch(
@@ -639,10 +674,12 @@ class KeyFrameGraph:
                 cand_pts.append(pts)
                 cand_quads.append(quad)
             p1, good1, _, _, _ = self._batch_track_refs(
-                cand_pts, new_kf.pyr.quad[l], np.stack(c2f_inits))
+                cand_pts, new_kf.pyr.quad[l], np.stack(c2f_inits),
+                kf_ids=[c.id for c in pre])
             new_pts, _ = self._get_permaref(new_kf)
             p2, good2, _, _, _ = self._batch_track_frames(
-                new_pts, cand_quads, np.stack(f2c_inits))
+                new_pts, cand_quads, np.stack(f2c_inits),
+                kf_ids=[c.id for c in pre])
             rot = nps.quat_mul(np.asarray(p2, np.float64)[:, 0:4],
                                np.asarray(p1, np.float64)[:, 0:4])
             rot_err = np.linalg.norm(nps.so3_log(rot), axis=-1)
@@ -833,7 +870,7 @@ class KeyFrameGraph:
         pts_list = [self._permaref[kf.id][0] for kf in kfs]
         inits = np.tile(nps.se3_identity(), (len(kfs), 1))
         k2f, good, usage, gc, bc = self._batch_track_refs(
-            pts_list, frame_quad, inits)
+            pts_list, frame_quad, inits, kf_ids=[kf.id for kf in kfs])
         good_val = usage * gc / np.maximum(gc + bc, 1.0)
         good_val = np.where(np.isfinite(good_val), good_val, -1.0)
         id_to_idx = {kf.id: i for i, kf in enumerate(kfs)}
@@ -865,7 +902,7 @@ class KeyFrameGraph:
                     n_inits.append(nps.se3_inverse(nps.se3_from_sim3(inner)))
                     n_pts.append(self._permaref[nid][0])
                 nk2f, n_tg, n_usage, n_gc, n_bc = self._batch_track_refs(
-                    n_pts, frame_quad, np.stack(n_inits))
+                    n_pts, frame_quad, np.stack(n_inits), kf_ids=n_ids)
                 n_val = n_usage * n_gc / np.maximum(n_gc + n_bc, 1.0)
                 for j, nid in enumerate(n_ids):
                     drift = nps.se3_log(nps.se3_mul(

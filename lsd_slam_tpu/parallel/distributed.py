@@ -41,10 +41,13 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 
 
 def default_mesh() -> Mesh | None:
-    """The engine's mesh: all local devices when more than one is present
+    """The engine's mesh: all LOCAL devices when more than one is present
     (a pod slice, or the virtual CPU mesh in tests), else None — callers
-    fall back to single-device paths."""
-    devs = jax.devices()
+    fall back to single-device paths. Local only: under jax.distributed a
+    global mesh would require every process to join each program, but the
+    engine's sharded batches are per-host work — cross-process programs go
+    through parallel/multihost_engine instead."""
+    devs = jax.local_devices()
     return Mesh(np.asarray(devs), (AXIS,)) if len(devs) > 1 else None
 
 

@@ -74,6 +74,12 @@ def init_multihost(coordinator_address: str, num_processes: int,
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)
+    # Force backend bring-up NOW: device/topology registration with the
+    # coordinator happens at backend init, which is lazy — a process that
+    # parks on a host-channel recv before touching jax (an engine worker
+    # in serve()) would otherwise never register, deadlocking every other
+    # process's backend init at the local-topology exchange.
+    jax.devices()
     _initialized = True
 
 

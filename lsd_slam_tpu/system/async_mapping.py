@@ -134,6 +134,7 @@ class ConstraintThread:
         """One random old-keyframe re-track (SlamSystem.cpp:275-310).
         Returns True when a retrack was attempted and the list is still
         productive (== doneSomething)."""
+        import time as _time
         graph = self.backend._graph
         if graph is None:
             return False
@@ -145,9 +146,12 @@ class ConstraintThread:
         kf = retrack.pop(idx)
         retrack.append(kf)
         sys.stats.bump("retrack_attempts")
+        t0 = _time.perf_counter()
         found = graph.find_constraints_for_new_keyframe(
             kf, force_parent=False, use_fabmap=False,
             close_candidates_th=2.0)
+        sys.stats.high_water("retrack_ms_max",
+                            (_time.perf_counter() - t0) * 1000.0)
         if found == 0:
             self._failed_to_retrack += 1
         else:
@@ -168,15 +172,23 @@ class ConstraintThread:
                     finally:
                         if self.queue.size() == 0:
                             self._idle.set()
-                    if not did_something:
-                        # exhausted re-tracks: back off like the reference's
-                        # 500 ms timed wait (SlamSystem.cpp:308)
-                        _time.sleep(0.2)
+                    # pace the idle densifier: the reference wakes at most
+                    # every 500 ms (SlamSystem.cpp:308) AND runs on its own
+                    # core — here every retrack dispatches real device work
+                    # that would otherwise queue ahead of the tracking
+                    # thread's programs, so back-to-back retracks turn into
+                    # multi-second tracking stalls on one chip
+                    _time.sleep(0.2 if did_something else 0.5)
                 continue
             try:
                 graph = self.backend._ensure()
+                sys = self.backend.system
+                t0 = _time.perf_counter()
                 n = graph.find_constraints_for_new_keyframe(
                     kf, force_parent=True)
+                sys.stats.high_water(
+                    "constraint_search_ms_max",
+                    (_time.perf_counter() - t0) * 1000.0)
                 self._failed_to_retrack = 0
                 if n > 0:
                     self.backend.signal_new_constraints()

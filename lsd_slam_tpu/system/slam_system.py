@@ -135,18 +135,25 @@ def _get_frame_step(cam: Camera, cfg: LSDConfig):
                           jnp.asarray(export[3], jnp.float32)])])
         return pyr, res, state2, export, pack
 
-    return _frame_step
+    from lsd_slam_tpu.utils.aot_cache import aot_wrap
+    return aot_wrap("frame_step", _frame_step,
+                    static_argnames=("point_budget",),
+                    context=repr((cam, cfg)))
 
 
 class SlamSystem:
     def __init__(self, cam: Camera, cfg: LSDConfig = LSDConfig(),
-                 enable_slam: bool = True, seed: int = 0):
+                 enable_slam: bool = True, seed: int = 0, multihost=None):
         if cam.width != cfg.width or cam.height != cfg.height:
             cfg = cfg.replace(width=cam.width, height=cam.height)
         self.cam = cam
         self.cfg = cfg
         self.enable_slam = enable_slam
         self.seed = seed
+        # multi-host frontend (parallel/multihost_engine.MultihostFrontend,
+        # rank 0 only): keyframe-partitioned candidate search + SPMD PGO
+        # across processes; None on single-host runs
+        self.multihost = multihost
 
         self.tracker = SE3Tracker(cam, cfg.tracker,
                                   sigma2=cfg.mapping.camera_pixel_noise2,
@@ -342,7 +349,9 @@ class SlamSystem:
         if node is None:
             return None
         if inline_map:
-            self.do_mapping_iteration()
+            with self.timers.time("switch" if my_create_flag
+                                  else "map_inline"):
+                self.do_mapping_iteration()
         else:
             self.mapping_thread.push(self.latest_tracked)
         return node.cam_to_world()
@@ -395,7 +404,8 @@ class SlamSystem:
         commit. Returns the frame's PoseNode, or None when lost."""
         kf = fl.kf
         speculative = fl.snapshot is not None
-        host = np.asarray(fl.pack, np.float64)  # THE per-frame host sync
+        with self.timers.time("retire_pull"):
+            host = np.asarray(fl.pack, np.float64)  # THE per-frame host sync
         self.stats.bump("host_syncs")
         diverged = bool(host[HP["diverged"]])
         tracking_good = bool(host[HP["tracking_good"]])
@@ -742,6 +752,9 @@ class SlamSystem:
                 self.finish_current_keyframe()
         if self.backend is not None:
             self.backend.finalize()
+        if self.multihost is not None:
+            self.multihost.stop()
+            self.multihost = None
 
     # ------------------------------------------------------------- export
 

@@ -138,16 +138,23 @@ def get_quick_programs(cam: Camera, cfg: TrackerConfig, sigma2: float,
     single/batched/overlap program set per (camera, config, sigma2, level),
     reused by every QuickTracker instance (constraint search, reloc,
     candidate scoring all share these)."""
+    from lsd_slam_tpu.utils.aot_cache import aot_wrap
     impl = functools.partial(_quick_impl, cam, cfg, float(sigma2), int(level))
+    ctx = repr((cam, cfg, sigma2, level))
     return QuickPrograms(
-        track1=jax.jit(impl),
+        track1=aot_wrap("quick_track1", jax.jit(impl), context=ctx),
         # batched: level-l slices of (stacked) refs vs one frame
-        trackN=jax.jit(jax.vmap(impl, in_axes=(0, None, 0))),
+        trackN=aot_wrap("quick_trackN",
+                        jax.jit(jax.vmap(impl, in_axes=(0, None, 0))),
+                        context=ctx),
         # batched the other way: ONE ref vs N stacked frames (the reciprocal
         # direction of the close-candidate pre-check, SlamSystem.cpp:1283-1310)
-        trackN_frames=jax.jit(jax.vmap(impl, in_axes=(None, 0, 0))),
-        overlap=jax.jit(functools.partial(_overlap_impl, cam, cfg,
-                                          int(level))),
+        trackN_frames=aot_wrap(
+            "quick_trackN_frames",
+            jax.jit(jax.vmap(impl, in_axes=(None, 0, 0))), context=ctx),
+        overlap=aot_wrap("quick_overlap",
+                         jax.jit(functools.partial(_overlap_impl, cam, cfg,
+                                                   int(level))), context=ctx),
     )
 
 

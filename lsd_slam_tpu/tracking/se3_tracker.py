@@ -335,9 +335,14 @@ def get_se3_program(cam: Camera, cfg: TrackerConfig, sigma2: float,
     """Module-level program cache: ONE traced+compiled pyramidal-track
     program per (camera, config, sigma2, use_affine). Every SE3Tracker —
     and through it every SlamSystem — with the same key shares the same
-    jitted callable, so constructing a fresh engine never re-traces."""
-    return jax.jit(functools.partial(_track_impl, cam, cfg, float(sigma2),
-                                     bool(use_affine)))
+    jitted callable, so constructing a fresh engine never re-traces.
+    AOT-cached: a fresh PROCESS deserializes the compiled executable from
+    disk instead of re-tracing/compiling (utils/aot_cache)."""
+    from lsd_slam_tpu.utils.aot_cache import aot_wrap
+    fn = jax.jit(functools.partial(_track_impl, cam, cfg, float(sigma2),
+                                   bool(use_affine)))
+    return aot_wrap("se3_track", fn,
+                    context=repr((cam, cfg, sigma2, use_affine)))
 
 
 class SE3Tracker:

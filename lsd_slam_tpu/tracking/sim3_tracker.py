@@ -335,9 +335,13 @@ def get_sim3_program(cam: Camera, cfg: TrackerConfig, sigma2: float,
                      start_level: int, final_level: int):
     """Shared program cache: the constraint pipeline uses a fixed set of
     level ranges (SlamSystem.cpp:1140-1202); each is traced exactly once
-    per (camera, config) process-wide."""
-    return jax.jit(functools.partial(_sim3_impl, cam, cfg, float(sigma2),
-                                     int(start_level), int(final_level)))
+    per (camera, config) process-wide and AOT-cached across processes."""
+    from lsd_slam_tpu.utils.aot_cache import aot_wrap
+    fn = jax.jit(functools.partial(_sim3_impl, cam, cfg, float(sigma2),
+                                   int(start_level), int(final_level)))
+    return aot_wrap("sim3_track", fn,
+                    context=repr((cam, cfg, sigma2, start_level,
+                                  final_level)))
 
 
 @functools.lru_cache(maxsize=None)
@@ -360,10 +364,16 @@ def get_sim3_batch_programs(cam: Camera, cfg: TrackerConfig, sigma2: float,
     The LM while_loops run in batch lockstep (iterate until every lane
     converges) — a few wasted iterations per lane against an ~8x cut in
     dispatches and far better VPU/MXU utilization."""
+    from lsd_slam_tpu.utils.aot_cache import aot_wrap
     impl = functools.partial(_sim3_impl, cam, cfg, float(sigma2),
                              int(start_level), int(final_level))
-    return (jax.jit(jax.vmap(impl, in_axes=(0, None, 0))),
-            jax.jit(jax.vmap(impl, in_axes=(None, 0, 0))))
+    ctx = repr((cam, cfg, sigma2, start_level, final_level))
+    return (aot_wrap("sim3_batch_refs",
+                     jax.jit(jax.vmap(impl, in_axes=(0, None, 0))),
+                     context=ctx),
+            aot_wrap("sim3_batch_frames",
+                     jax.jit(jax.vmap(impl, in_axes=(None, 0, 0))),
+                     context=ctx))
 
 
 class Sim3Tracker:

@@ -292,23 +292,54 @@ def render_bench(scene: BenchScene, camera: Camera, pose_w2c):
 @functools.partial(jax.jit, static_argnames=("scene", "camera"))
 def render_realistic(scene: PlaneScene, camera: Camera, pose_w2c,
                      frame_index=0, noise_sigma=1.5):
-    """Render + camera realism: smooth per-frame exposure drift (gain and
-    bias — exercises the affine lighting estimation, settings.cpp
-    useAffineLightningEstimation) and additive Gaussian sensor noise
-    (cameraPixelNoise2 models sigma=4 gray levels; real sensors at good
-    light sit around 1-2). Deterministic per frame_index."""
+    """Render + camera realism (the bench's stated proxy for a real
+    sensor — no real dataset is fetchable in this environment, so the
+    known photometric nuisances are modeled explicitly):
+      * smooth per-frame exposure drift — gain and bias (exercises the
+        affine lighting estimation, settings.cpp
+        useAffineLightningEstimation) plus a mild ROLLING component that
+        varies top-to-bottom within a frame (rolling-shutter-style
+        exposure gradient);
+      * radial vignetting (~12% corner falloff, fixed across frames —
+        uncompensated like the reference's non-photometrically-calibrated
+        input);
+      * slight optical blur (3x3 binomial kernel, ~0.5 px sigma);
+      * additive Gaussian sensor noise (cameraPixelNoise2 models sigma=4
+        gray levels; real sensors at good light sit around 1-2).
+    Deterministic per frame_index."""
     if isinstance(scene, BenchScene):
         img, depth = render_bench(scene, camera, pose_w2c)
     else:
         img, depth = render(scene, camera, pose_w2c)
+    h, w = img.shape
     i = jnp.asarray(frame_index, jnp.float32)
+    # slight optical blur before the sensor effects (separable binomial)
+    k = jnp.asarray([0.25, 0.5, 0.25], jnp.float32)
+    blurred = img
+    blurred = (jnp.pad(blurred, ((0, 0), (1, 1)), mode="edge")[:, :-2] * k[0]
+               + blurred * k[1]
+               + jnp.pad(blurred, ((0, 0), (1, 1)), mode="edge")[:, 2:] * k[2])
+    blurred = (jnp.pad(blurred, ((1, 1), (0, 0)), mode="edge")[:-2, :] * k[0]
+               + blurred * k[1]
+               + jnp.pad(blurred, ((1, 1), (0, 0)), mode="edge")[2:, :] * k[2])
+    img = blurred
+    # vignette: radial cos^4-style falloff, ~12% at the corners
+    ys = (jnp.arange(h, dtype=jnp.float32) - (h - 1) / 2) / (h / 2)
+    xs = (jnp.arange(w, dtype=jnp.float32) - (w - 1) / 2) / (w / 2)
+    r2 = (ys[:, None] ** 2 + xs[None, :] ** 2) / 2.0
+    vignette = 1.0 - 0.12 * r2
     gain = 1.0 + 0.06 * jnp.sin(0.21 * i) + 0.02 * jnp.sin(0.047 * i)
+    # rolling exposure: the gain drifts slightly across scanlines within
+    # one frame (top rows "earlier" than bottom rows)
+    rolling = 1.0 + 0.01 * jnp.sin(0.21 * i + 0.9) \
+        * (ys[:, None] * jnp.ones((1, w)))
     bias = 3.0 * jnp.sin(0.13 * i)
     key = jax.random.fold_in(jax.random.PRNGKey(1234),
                              jnp.asarray(frame_index, jnp.int32))
     noise = jnp.asarray(noise_sigma, jnp.float32) * jax.random.normal(
         key, img.shape, jnp.float32)
-    out = jnp.clip(gain * img + bias + noise, 0.0, 255.0)
+    out = jnp.clip(gain * rolling * vignette * img + bias + noise,
+                   0.0, 255.0)
     out = jnp.where(depth > 0, out, 0.0)
     return out.astype(jnp.float32), depth
 
