@@ -114,9 +114,15 @@ def base_config(profile_sync=False, mode="seq"):
         pipeline_lag=lag))
 
 
-def run_slam(cam, imgs, dep0, gt_poses, cfg, enable_slam=True):
+def run_slam(cam, imgs, dep0, gt_poses, cfg, enable_slam=True,
+             pace_hz=0.0):
     """One full run; returns (system, per-frame wall times, switch flags,
-    total wall seconds including queue drain)."""
+    total wall seconds including queue drain).
+
+    pace_hz > 0 feeds frames at camera cadence (the threaded reference
+    architecture assumes >= 30 fps INPUT, README.md:235 — an unpaced
+    free-run is an infinite-fps camera no deployment has); 0 = free-run
+    (throughput measurement)."""
     from lsd_slam_tpu.system import SlamSystem
     from lsd_slam_tpu.utils.stats import device_sync
 
@@ -125,8 +131,15 @@ def run_slam(cam, imgs, dep0, gt_poses, cfg, enable_slam=True):
     frame_ms = []
     switched = []
     t_start = time.perf_counter()
+    next_t = t_start
     kf_id = sys_.current_keyframe.id
     for i in range(1, N_FRAMES):
+        if pace_hz > 0:
+            now = time.perf_counter()
+            if now < next_t:
+                time.sleep(next_t - now)
+                now = next_t
+            next_t = max(next_t + 1.0 / pace_hz, now)
         t0 = time.perf_counter()
         sys_.track_frame(imgs[i], i, i / 30.0)
         frame_ms.append((time.perf_counter() - t0) * 1000.0)
@@ -243,6 +256,15 @@ def main():
     extras["pipeline_lag"] = PIPE_LAG
     latency_extras(extras, "pipe", fms_p, sw_p)
     pipe_health = run_health(sys_pipe, poses)
+    c = sys_pipe.stats.counters
+    if c.get("constraint_searches"):
+        extras["pipe_cs_mean_ms"] = round(
+            c["constraint_search_ms"] / c["constraint_searches"], 0)
+        extras["pipe_cs_max_ms"] = round(c["constraint_search_ms_max"], 0)
+    for st in (0, 1, 2):
+        if c.get(f"sim3_stage{st}_n"):
+            extras[f"pipe_sim3_s{st}_ms"] = round(
+                c[f"sim3_stage{st}_ms"] / c[f"sim3_stage{st}_n"], 0)
     sys_pipe.finalize()
     pipe_ate_after = ate_rmse(
         sys_pipe.optimized_trajectory_array(),
@@ -253,10 +275,15 @@ def main():
                                     if pipe_ate_after is not None else None)
 
     # ---- reference-shaped threaded mode (tracking || mapping ||
-    # constraints || optimization with queue batch-drain): health extras
+    # constraints || optimization with queue batch-drain), fed at the
+    # reference's 30 fps camera cadence: the claim measured here is
+    # "sustains real-time input with a healthy map", reported as achieved
+    # fps + drop/health extras
     sys_thr, fms_t, sw_t, total_t = run_slam(
-        cam, imgs, dep0, poses, base_config(mode="threads"))
+        cam, imgs, dep0, poses, base_config(mode="threads"), pace_hz=30.0)
     extras["threads_fps"] = round((N_FRAMES - 1) / total_t, 2)
+    extras["threads_p95_frame_ms"] = round(float(np.percentile(fms_t, 95)),
+                                           2)
     thr_health = run_health(sys_thr, poses)
     sys_thr.finalize()
     for k, v in thr_health.items():

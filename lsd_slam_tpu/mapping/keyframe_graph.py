@@ -497,12 +497,14 @@ class KeyFrameGraph:
         # the survivors of the coarse gate — typically 2-4 of 10-15
         # candidates (the reference's coarse-to-fine early-out,
         # SlamSystem.cpp:1140-1202, recovered in batch form)
+        import time as _time
         live = list(range(n))
         c_to_f_all = np.stack([np.asarray(i, np.float64) for i in inits])
         f_to_c_all = np.stack([nps.sim3_inverse(p) for p in c_to_f_all])
         cons_all = np.full(n, 1e20)
         last = None
         for stage, (ls, le) in enumerate(((4, 3), (2, 2), (1, 1))):
+            t_stage = _time.perf_counter()
             m = len(live)
             pad = self._pad_batch(m)
             refs = [cands[i].sim3_ref for i in live]
@@ -569,6 +571,10 @@ class KeyFrameGraph:
             live = survivors
             last = (ba_pose, ab_pose, info_ba, info_ab, res_ba, res_ab,
                     lane_of)
+            dt = (_time.perf_counter() - t_stage) * 1000.0
+            self.system.stats.bump(f"sim3_stage{stage}_ms", dt)
+            self.system.stats.bump(f"sim3_stage{stage}_n")
+            self.system.stats.high_water(f"sim3_stage{stage}_ms_max", dt)
             if not live:
                 return [None] * n
 

@@ -186,9 +186,10 @@ class ConstraintThread:
                 t0 = _time.perf_counter()
                 n = graph.find_constraints_for_new_keyframe(
                     kf, force_parent=True)
-                sys.stats.high_water(
-                    "constraint_search_ms_max",
-                    (_time.perf_counter() - t0) * 1000.0)
+                dt = (_time.perf_counter() - t0) * 1000.0
+                sys.stats.bump("constraint_search_ms", dt)
+                sys.stats.bump("constraint_searches")
+                sys.stats.high_water("constraint_search_ms_max", dt)
                 self._failed_to_retrack = 0
                 if n > 0:
                     self.backend.signal_new_constraints()

@@ -43,10 +43,10 @@ class _InFlight:
     records whether the keyframe-switch flag was already set at dispatch."""
 
     __slots__ = ("frame_id", "timestamp", "pyr", "res", "export", "pack",
-                 "snapshot", "kf", "create_flag")
+                 "snapshot", "kf", "create_flag", "ref_out")
 
     def __init__(self, frame_id, timestamp, pyr, res, export, pack,
-                 snapshot, kf, create_flag):
+                 snapshot, kf, create_flag, ref_out=None):
         self.frame_id = frame_id
         self.timestamp = timestamp
         self.pyr = pyr
@@ -56,6 +56,9 @@ class _InFlight:
         self.snapshot = snapshot
         self.kf = kf
         self.create_flag = create_flag
+        # device TrackingRef rebuilt in-program from this frame's depth:
+        # the next dispatch chains on it (fresh-depth tracking at any lag)
+        self.ref_out = ref_out
 
 
 class TrackedFrame:
@@ -106,24 +109,37 @@ def _get_frame_step(cam: Camera, cfg: LSDConfig):
 
     levels = cfg.system.pyramid_levels
     ming = cfg.mapping.min_use_grad
+    min_track_level = cfg.tracker.min_level
     tracker_fn = get_se3_program(cam, cfg.tracker,
                                  cfg.mapping.camera_pixel_noise2,
                                  cfg.tracker.use_affine_lighting)
     observe_fn = get_depth_programs(cam, cfg).observe
 
     @functools.partial(jax.jit, static_argnames=("point_budget",))
-    def _frame_step(state, ref, kf_img, kf_gx, kf_gy, kf_max_grad,
-                    image, init7, extras2, point_budget=0):
+    def _frame_step(state, ref, kf_pyr, image, init7, extras2,
+                    point_budget=0):
         # init7: frame->ref SE3 initial estimate — a HOST value on the
         # first frame after a keyframe change, the previous frame's DEVICE
         # res.frame_to_ref when pipelined (pose chaining without a host
         # round-trip). extras2 = [frame_id, skip_inc].
+        from lsd_slam_tpu.frames import build_depth_pyramid
+        from lsd_slam_tpu.tracking import make_tracking_ref
+
         pyr = build_frame(image, levels, ming)
         res = tracker_fn(ref, pyr, init7)
         state2, stats, export = observe_fn(
-            state, kf_img, kf_gx, kf_gy, kf_max_grad, pyr.images[0],
+            state, kf_pyr.images[0], kf_pyr.gx[0], kf_pyr.gy[0],
+            kf_pyr.max_grad[0], pyr.images[0],
             res.frame_to_ref, extras2[0], res.good_mask,
             res.initial_residual, extras2[1], point_budget=point_budget)
+        # rebuild the keyframe's tracking reference from the JUST-UPDATED
+        # depth, in-program: the pipelined chain hands this ref to the
+        # next frame's dispatch, so pipelined tracking sees depth exactly
+        # as fresh as blocking mode does (a lag-stale ref measurably
+        # drifts — 6x ATE at 640x480)
+        new_ref = make_tracking_ref(
+            kf_pyr, build_depth_pyramid(export[0], export[1], levels),
+            min_level=min_track_level, with_sim3=False)
         # pack order is defined ONCE by OBSERVE_STAT_KEYS (the host
         # unpacks with the same tuple); a stat key missing from the
         # observe dict fails loudly at trace time
@@ -133,7 +149,7 @@ def _get_frame_step(cam: Camera, cfg: LSDConfig):
                         for k in OBSERVE_STAT_KEYS]
                        + [jnp.asarray(export[2], jnp.float32),
                           jnp.asarray(export[3], jnp.float32)])])
-        return pyr, res, state2, export, pack
+        return pyr, res, state2, export, pack, new_ref
 
     from lsd_slam_tpu.utils.aot_cache import aot_wrap
     return aot_wrap("frame_step", _frame_step,
@@ -369,22 +385,27 @@ class SlamSystem:
         skip_inc = max(3.0, self.map.num_frames_tracked_on_this
                        / float(self.map.num_mapped_on_this + 5))
         if self._ring and self._ring[-1].kf is kf:
-            # pose chaining: previous frame's DEVICE frame->ref is this
-            # frame's init — no host round-trip (SlamSystem.cpp:922-925
-            # computes exactly this product on the host)
+            # pose + reference chaining: the previous frame's DEVICE
+            # frame->ref is this frame's init (SlamSystem.cpp:922-925
+            # computes exactly this product on the host), and its
+            # in-program tracking-ref rebuild is this frame's reference —
+            # pipelined tracking sees depth exactly as fresh as blocking
+            # mode, with no host round-trip
             init7 = self._ring[-1].res.frame_to_ref
+            ref_in = self._ring[-1].ref_out
         else:
             last_node = self.all_frame_poses[-1]
             init7 = np.asarray(nps.se3_from_sim3(
                 nps.sim3_mul(nps.sim3_inverse(kf.pose.cam_to_world()),
                              last_node.cam_to_world())), np.float32)
+            ref_in = kf.tracking_ref
         extras2 = np.asarray([frame_id, skip_inc], np.float32)
         with self.timers.time("frame_step"):
-            pyr, res, new_state, export_dev, pack = self._frame_step(
-                self.map.state, kf.tracking_ref, kf.pyr.images[0],
-                kf.pyr.gx[0], kf.pyr.gy[0], kf.pyr.max_grad[0],
-                jnp.asarray(image, jnp.float32), init7, extras2,
-                point_budget=self.map.pick_budget())
+            pyr, res, new_state, export_dev, pack, ref_out = \
+                self._frame_step(
+                    self.map.state, ref_in, kf.pyr,
+                    jnp.asarray(image, jnp.float32), init7, extras2,
+                    point_budget=self.map.pick_budget())
         self.map.state = new_state
         self.map._fresh_export = None
         self.map.num_mapped_on_this += 1
@@ -396,7 +417,7 @@ class SlamSystem:
         except (AttributeError, RuntimeError):  # pragma: no cover
             pass
         return _InFlight(frame_id, timestamp, pyr, res, export_dev, pack,
-                         snap, kf, False)
+                         snap, kf, False, ref_out)
 
     def _retire_frame(self, fl: "_InFlight"):
         """Pull one frame's packed scalars and run every host decision:

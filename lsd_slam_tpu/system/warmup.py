@@ -97,8 +97,7 @@ def warmup(cam: Camera, cfg: LSDConfig, enable_slam: bool = True,
         extras2 = np.zeros(2, np.float32)
         for b in observe_budget_buckets(cfg.height, cfg.width):
             out = sys_._frame_step(
-                st, kf.tracking_ref, kf.pyr.images[0], kf.pyr.gx[0],
-                kf.pyr.gy[0], kf.pyr.max_grad[0],
+                st, kf.tracking_ref, kf.pyr,
                 jnp.asarray(img, jnp.float32), init7, extras2,
                 point_budget=b)
             jax.block_until_ready(out[4])

@@ -167,10 +167,18 @@ class AotFunction:
                        f"{key}.aotx")
 
     def _load_or_build(self, key: str, args, skw):
+        import jax
         from jax.experimental import serialize_executable as se
 
+        # deserialize_and_load restores the executable's device assignment
+        # over ALL local devices — on a multi-device process that breaks
+        # the single-device calling convention, so the DISK path is
+        # single-local-device only (the remote-attached-chip case this
+        # cache exists for); multi-device processes still get in-process
+        # AOT compilation
+        disk_ok = jax.local_device_count() == 1
         path = self._path(key)
-        if os.path.exists(path):
+        if disk_ok and os.path.exists(path):
             try:
                 with open(path, "rb") as f:
                     payload, in_tree, out_tree = pickle.load(f)
@@ -185,16 +193,17 @@ class AotFunction:
             compiled = lowered.compile()
         except Exception:
             return False  # not lowerable (e.g. non-jit callable): bypass
-        try:
-            payload, in_tree, out_tree = se.serialize(compiled)
-            os.makedirs(CACHE_DIR, exist_ok=True)
-            tmp = path + f".tmp{os.getpid()}"
-            with open(tmp, "wb") as f:
-                pickle.dump((payload, in_tree, out_tree), f,
-                            protocol=pickle.HIGHEST_PROTOCOL)
-            os.replace(tmp, path)
-        except Exception:
-            pass  # executable not serializable (sharded etc.) — still usable
+        if disk_ok:
+            try:
+                payload, in_tree, out_tree = se.serialize(compiled)
+                os.makedirs(CACHE_DIR, exist_ok=True)
+                tmp = path + f".tmp{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    pickle.dump((payload, in_tree, out_tree), f,
+                                protocol=pickle.HIGHEST_PROTOCOL)
+                os.replace(tmp, path)
+            except Exception:
+                pass  # not serializable — the compiled object still works
         return compiled
 
 
