@@ -285,6 +285,10 @@ def main():
     extras["threads_p95_frame_ms"] = round(float(np.percentile(fms_t, 95)),
                                            2)
     thr_health = run_health(sys_thr, poses)
+    ct = sys_thr.stats.counters
+    for key in ("mapping_batches", "mapping_frames_consumed",
+                "mapping_dropped_wrong_parent"):
+        extras[f"threads_{key}"] = int(ct.get(key, 0))
     sys_thr.finalize()
     for k, v in thr_health.items():
         extras[f"threads_{k}"] = v
@@ -322,9 +326,12 @@ def main():
         and pipe_health["reinits"] == 0
         and pipe_health["ate"] is not None
         and pipe_health["ate"] <= max(2.0 * seq_ate, seq_ate + 0.01))
-    if pipe_ok:
+    if pipe_ok and pipe_fps > seq_fps:
         fps = pipe_fps
         extras["headline_mode"] = "pipelined"
+    elif pipe_ok:
+        fps = seq_fps
+        extras["headline_mode"] = "seq (pipelined healthy but slower)"
     else:
         fps = seq_fps
         extras["headline_mode"] = "seq (pipelined run failed health gate)"

