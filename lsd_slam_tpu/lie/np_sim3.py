@@ -186,3 +186,42 @@ def se3_exp(tangent):
     t = np.einsum("...ij,...j->...i",
                   _w_matrix_np(omega, np.zeros(omega.shape[:-1])), ups)
     return np.concatenate([q, t], axis=-1)
+
+
+def sim3_log(g):
+    """Exact Sim3 log (..., 8) -> (..., 7) [upsilon, omega, sigma], f64
+    (mirrors lie.groups.sim3_log — host-side constraint math must not pay
+    a device round-trip per candidate)."""
+    g = np.asarray(g, np.float64)
+    omega = so3_log(g[..., 0:4])
+    sigma = np.log(g[..., 7])
+    w = _w_matrix_np(omega, sigma)
+    ups = np.linalg.solve(w, g[..., 4:7][..., None])[..., 0]
+    return np.concatenate([ups, omega, sigma[..., None]], axis=-1)
+
+
+def sim3_adjoint(g):
+    """Sim3 adjoint (..., 8) -> (..., 7, 7), [ups, omega, sigma] ordering
+    (Sophus sim3.hpp Adj; mirrors lie.groups.sim3_adjoint):
+
+        [[s R, hat(t) R, -t],
+         [ 0 ,    R    ,  0],
+         [ 0 ,    0    ,  1]]
+    """
+    g = np.asarray(g, np.float64)
+    r = quat_to_matrix(g[..., 0:4])
+    t = g[..., 4:7]
+    s = g[..., 7]
+    tx, ty, tz = t[..., 0], t[..., 1], t[..., 2]
+    z = np.zeros_like(tx)
+    hat_t = np.stack([
+        np.stack([z, -tz, ty], -1),
+        np.stack([tz, z, -tx], -1),
+        np.stack([-ty, tx, z], -1)], -2)
+    adj = np.zeros(g.shape[:-1] + (7, 7), np.float64)
+    adj[..., 0:3, 0:3] = s[..., None, None] * r
+    adj[..., 0:3, 3:6] = hat_t @ r
+    adj[..., 0:3, 6] = -t
+    adj[..., 3:6, 3:6] = r
+    adj[..., 6, 6] = 1.0
+    return adj

@@ -12,6 +12,7 @@ failed-constraint memory) stays host-side.
 
 from __future__ import annotations
 
+import functools
 import math
 import random
 from typing import Dict, List, Optional, Set, Tuple
@@ -126,6 +127,30 @@ class KeyFrameGraph:
     # sharding on the virtual mesh). Instance-settable for tests.
     mesh_min_lanes_per_device = 4
 
+    @staticmethod
+    @functools.lru_cache(maxsize=None)
+    def _pack5_fn():
+        import jax
+
+        def pack(p, good, usage, gc, bc):
+            return jnp.concatenate(
+                [p, good.astype(jnp.float32)[:, None], usage[:, None],
+                 gc.astype(jnp.float32)[:, None],
+                 bc.astype(jnp.float32)[:, None]], axis=1)
+        return jax.jit(pack)
+
+    def _pull5(self, out, n):
+        """One packed pull for the 5 quick-track outputs: separate pulls
+        each pay a host round-trip on remote-attached chips."""
+        packed = self._pack5_fn()(*out)
+        try:
+            packed.copy_to_host_async()
+        except (AttributeError, RuntimeError):  # pragma: no cover
+            pass
+        arr = np.asarray(packed)
+        return (arr[:n, 0:7], arr[:n, 7] > 0.5, arr[:n, 8], arr[:n, 9],
+                arr[:n, 10])
+
     def _use_mesh_batch(self, n: int) -> bool:
         return (self.mesh is not None
                 and n >= self.mesh_min_lanes_per_device
@@ -169,7 +194,7 @@ class KeyFrameGraph:
                                                      inits_j)
             out = (res.ref_to_frame, res.tracking_good, res.point_usage,
                    res.good_count, res.bad_count)
-        return tuple(np.asarray(o)[:n] for o in out)
+        return self._pull5(out, n)
 
     def _batch_track_frames(self, ref_pts, quads_list, inits, kf_ids=None):
         """Quick-track ONE reference against N frame quad layouts (the
@@ -193,7 +218,7 @@ class KeyFrameGraph:
                                                         inits_j)
             out = (res.ref_to_frame, res.tracking_good, res.point_usage,
                    res.good_count, res.bad_count)
-        return tuple(np.asarray(o)[:n] for o in out)
+        return self._pull5(out, n)
 
     # ------------------------------------------------------------ vertices
 
@@ -398,18 +423,16 @@ class KeyFrameGraph:
                 or info_ab[6, 6] == 0):
             return 1e20, a_to_b, b_to_a, None, None
 
-        # reciprocal Mahalanobis consistency (SlamSystem.cpp:1093-1099)
-        from lsd_slam_tpu import lie as jlie
-        adj = np.asarray(
-            jlie.sim3_adjoint(jnp.asarray(a_to_b_new, jnp.float32)), np.float64)
+        # reciprocal Mahalanobis consistency (SlamSystem.cpp:1093-1099);
+        # host f64 lie math — a device round-trip per candidate costs a
+        # full RPC on remote-attached chips
+        adj = nps.sim3_adjoint(a_to_b_new)
         try:
             diff_hesse = np.linalg.inv(np.linalg.inv(info_ab)
                                        + adj @ np.linalg.inv(info_ba) @ adj.T)
         except np.linalg.LinAlgError:
             return 1e20, a_to_b_new, b_to_a_new, None, None
-        diff = np.asarray(
-            jlie.sim3_log(jnp.asarray(
-                nps.sim3_mul(a_to_b_new, b_to_a_new), jnp.float32)), np.float64)
+        diff = nps.sim3_log(nps.sim3_mul(a_to_b_new, b_to_a_new))
         consistency = float(diff @ diff_hesse @ diff)
 
         e1 = e2 = None
@@ -482,7 +505,6 @@ class KeyFrameGraph:
         init, strictness. Returns a list of (e1, e2) or None per candidate.
         """
         import jax
-        from lsd_slam_tpu import lie as jlie
 
         kcfg = self.system.cfg.keyframe
         n = len(cands)
@@ -507,6 +529,7 @@ class KeyFrameGraph:
             t_stage = _time.perf_counter()
             m = len(live)
             pad = self._pad_batch(m)
+            t_a = _time.perf_counter()
             refs = [cands[i].sim3_ref for i in live]
             if pad > m:
                 # dead padding lanes get ZERO point sets: they diverge on
@@ -523,16 +546,36 @@ class KeyFrameGraph:
                               + [ident] * (pad - m))
             f_to_c = np.stack([f_to_c_all[i] for i in live]
                               + [ident] * (pad - m))
-            res_ba = self.sim3_tracker.track_batch_frames(
+            t_b = _time.perf_counter()
+            # packed results: ONE (B, 70) pull per direction — separate
+            # field pulls each pay a full host round-trip on
+            # remote-attached chips (measured ~70% of stage wall time)
+            from lsd_slam_tpu.tracking.sim3_tracker import SIM3_PACK as SP
+            pk_ba = self.sim3_tracker.track_batch_frames_packed(
                 new_ref, stacked, np.asarray(c_to_f, np.float32), ls, le)
-            res_ab = self.sim3_tracker.track_batch(
+            pk_ab = self.sim3_tracker.track_batch_packed(
                 stacked, new_ref, np.asarray(f_to_c, np.float32), ls, le)
-            ba_pose = np.asarray(res_ba.frame_to_ref, np.float64)
-            ab_pose = np.asarray(res_ab.frame_to_ref, np.float64)
-            ba_div = np.asarray(res_ba.diverged, bool)
-            ab_div = np.asarray(res_ab.diverged, bool)
-            info_ba = np.asarray(res_ba.hessian, np.float64)
-            info_ab = np.asarray(res_ab.hessian, np.float64)
+            try:
+                pk_ba.copy_to_host_async()
+                pk_ab.copy_to_host_async()
+            except (AttributeError, RuntimeError):  # pragma: no cover
+                pass
+            t_c = _time.perf_counter()
+            ba = np.asarray(pk_ba, np.float64)
+            t_d = _time.perf_counter()
+            ab = np.asarray(pk_ab, np.float64)
+            self.system.stats.bump(f"sim3_s{stage}_prep_ms",
+                                   (t_b - t_a) * 1000.0)
+            self.system.stats.bump(f"sim3_s{stage}_disp_ms",
+                                   (t_c - t_b) * 1000.0)
+            self.system.stats.bump(f"sim3_s{stage}_pull1_ms",
+                                   (t_d - t_c) * 1000.0)
+            ba_pose = ba[:, SP["frame_to_ref"]]
+            ab_pose = ab[:, SP["frame_to_ref"]]
+            ba_div = ba[:, SP["diverged"]] > 0.5
+            ab_div = ab[:, SP["diverged"]] > 0.5
+            info_ba = ba[:, SP["hessian"]].reshape(-1, 7, 7)
+            info_ab = ab[:, SP["hessian"]].reshape(-1, 7, 7)
 
             survivors = []
             lane_of = {}
@@ -546,8 +589,7 @@ class KeyFrameGraph:
                         or info_ab[k, 6, 6] == 0):
                     self._record_failure(new_kf, cands[ci], inits[ci])
                     continue
-                adj = np.asarray(jlie.sim3_adjoint(jnp.asarray(
-                    ab_pose[k], jnp.float32)), np.float64)
+                adj = nps.sim3_adjoint(ab_pose[k])
                 try:
                     diff_hesse = np.linalg.inv(
                         np.linalg.inv(info_ab[k])
@@ -555,9 +597,7 @@ class KeyFrameGraph:
                 except np.linalg.LinAlgError:
                     self._record_failure(new_kf, cands[ci], inits[ci])
                     continue
-                diff = np.asarray(jlie.sim3_log(jnp.asarray(
-                    nps.sim3_mul(ab_pose[k], ba_pose[k]), jnp.float32)),
-                    np.float64)
+                diff = nps.sim3_log(nps.sim3_mul(ab_pose[k], ba_pose[k]))
                 cons_all[ci] = float(diff @ diff_hesse @ diff)
                 if cons_all[ci] > th_per_stage[stage] * stricts[ci]:
                     self._record_failure(new_kf, cands[ci], inits[ci])
@@ -569,8 +609,7 @@ class KeyFrameGraph:
                 survivors.append(ci)
 
             live = survivors
-            last = (ba_pose, ab_pose, info_ba, info_ab, res_ba, res_ab,
-                    lane_of)
+            last = (ba, ab, lane_of)
             dt = (_time.perf_counter() - t_stage) * 1000.0
             self.system.stats.bump(f"sim3_stage{stage}_ms", dt)
             self.system.stats.bump(f"sim3_stage{stage}_n")
@@ -578,7 +617,8 @@ class KeyFrameGraph:
             if not live:
                 return [None] * n
 
-        ba_pose, ab_pose, info_ba, info_ab, res_ba, res_ab, lane_of = last
+        from lsd_slam_tpu.tracking.sim3_tracker import SIM3_PACK as SP
+        ba, ab, lane_of = last
         alive = {ci: True for ci in live}
         out = []
         for ci in range(n):
@@ -592,17 +632,19 @@ class KeyFrameGraph:
             kernel_delta = 5.0 * math.sqrt(
                 6000.0 * kcfg.loop_closure_strictness)
             e1 = Constraint(
-                new_kf, cands[ci], ba_pose[k], info_ba[k], kernel_delta,
-                float(np.asarray(res_ba.last_residual)[k]),
-                float(np.asarray(res_ba.depth_residual)[k]),
-                float(np.asarray(res_ba.photo_residual)[k]),
-                float(np.asarray(res_ba.point_usage)[k]), cons_all[ci])
+                new_kf, cands[ci], ba[k, SP["frame_to_ref"]],
+                ba[k, SP["hessian"]].reshape(7, 7), kernel_delta,
+                float(ba[k, SP["last_residual"]]),
+                float(ba[k, SP["depth_residual"]]),
+                float(ba[k, SP["photo_residual"]]),
+                float(ba[k, SP["point_usage"]]), cons_all[ci])
             e2 = Constraint(
-                cands[ci], new_kf, ab_pose[k], info_ab[k], kernel_delta,
-                float(np.asarray(res_ab.last_residual)[k]),
-                float(np.asarray(res_ab.depth_residual)[k]),
-                float(np.asarray(res_ab.photo_residual)[k]),
-                float(np.asarray(res_ab.point_usage)[k]), cons_all[ci])
+                cands[ci], new_kf, ab[k, SP["frame_to_ref"]],
+                ab[k, SP["hessian"]].reshape(7, 7), kernel_delta,
+                float(ab[k, SP["last_residual"]]),
+                float(ab[k, SP["depth_residual"]]),
+                float(ab[k, SP["photo_residual"]]),
+                float(ab[k, SP["point_usage"]]), cons_all[ci])
             out.append((e1, e2))
         return out
 

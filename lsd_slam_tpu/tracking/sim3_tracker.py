@@ -395,6 +395,50 @@ def get_sim3_batch_programs(cam: Camera, cfg: TrackerConfig, sigma2: float,
                      context=ctx))
 
 
+# flat layout of one lane in the PACKED batched-Sim3 output: on
+# remote-attached chips every separate device->host pull pays ~25-45 ms of
+# RPC, and the constraint tester reads ~10 fields x 2 directions per stage
+# — packed, that is ONE (B, 70) pull per direction (measured: the unpacked
+# pulls were ~70% of a warm constraint-search stage's wall time)
+SIM3_PACK = dict(ref_to_frame=slice(0, 8), frame_to_ref=slice(8, 16),
+                 diverged=16, last_residual=17, depth_residual=18,
+                 photo_residual=19, point_usage=20,
+                 hessian=slice(21, 70))
+SIM3_PACK_LEN = 70
+
+
+def _pack_result(r: Sim3TrackResult) -> jnp.ndarray:
+    return jnp.concatenate([
+        r.ref_to_frame, r.frame_to_ref,
+        jnp.stack([r.diverged.astype(jnp.float32), r.last_residual,
+                   r.depth_residual, r.photo_residual, r.point_usage]),
+        r.hessian.reshape(49)])
+
+
+@functools.lru_cache(maxsize=None)
+def get_sim3_batch_packed_programs(cam: Camera, cfg: TrackerConfig,
+                                   sigma2: float, start_level: int,
+                                   final_level: int):
+    """Batched Sim3 programs returning ONE packed (B, 70) array per call
+    (layout SIM3_PACK) — the constraint pipeline's single-pull variant."""
+    from lsd_slam_tpu.utils.aot_cache import aot_wrap
+    impl = functools.partial(_sim3_impl, cam, cfg, float(sigma2),
+                             int(start_level), int(final_level))
+
+    def packed_refs(refs, frame, inits):
+        return jax.vmap(lambda a, b: _pack_result(impl(a, frame, b)),
+                        in_axes=(0, 0))(refs, inits)
+
+    def packed_frames(ref, frames, inits):
+        return jax.vmap(lambda a, b: _pack_result(impl(ref, a, b)),
+                        in_axes=(0, 0))(frames, inits)
+
+    ctx = repr((cam, cfg, sigma2, start_level, final_level))
+    return (aot_wrap("sim3_batchp_refs", jax.jit(packed_refs), context=ctx),
+            aot_wrap("sim3_batchp_frames", jax.jit(packed_frames),
+                     context=ctx))
+
+
 class Sim3Tracker:
     """Compiled Sim3 tracker bound to camera + config; per level range the
     jitted program comes from the shared `get_sim3_program` cache."""
@@ -417,6 +461,21 @@ class Sim3Tracker:
         fn, _ = get_sim3_batch_programs(self.cam, self.cfg, self.sigma2,
                                         start_level, final_level)
         return fn(refs_stacked, frame, jnp.asarray(inits, jnp.float32))
+
+    def track_batch_packed(self, refs_stacked, frame, inits,
+                           start_level: int, final_level: int):
+        """track_batch returning the packed (B, 70) device array
+        (layout SIM3_PACK) — one pull serves every field."""
+        fn, _ = get_sim3_batch_packed_programs(
+            self.cam, self.cfg, self.sigma2, start_level, final_level)
+        return fn(refs_stacked, frame, jnp.asarray(inits, jnp.float32))
+
+    def track_batch_frames_packed(self, ref, frames_stacked, inits,
+                                  start_level: int, final_level: int):
+        """track_batch_frames returning the packed (B, 70) device array."""
+        _, fn = get_sim3_batch_packed_programs(
+            self.cam, self.cfg, self.sigma2, start_level, final_level)
+        return fn(ref, frames_stacked, jnp.asarray(inits, jnp.float32))
 
     def track_batch_frames(self, ref: TrackingRef, frames_stacked, inits,
                            start_level: int, final_level: int
