@@ -107,11 +107,11 @@ def base_config(profile_sync=False, mode="seq"):
     from lsd_slam_tpu.config import LSDConfig
 
     cfg = LSDConfig(width=W, height=H)
-    sequential = mode == "seq"
+    sequential = mode in ("seq", "seq_defer")
     lag = PIPE_LAG if mode == "pipelined" else 0
     return cfg.replace(system=dataclasses.replace(
         cfg.system, profile_sync=profile_sync, sequential=sequential,
-        pipeline_lag=lag))
+        pipeline_lag=lag, defer_pgo_merge=(mode == "seq_defer")))
 
 
 def run_slam(cam, imgs, dep0, gt_poses, cfg, enable_slam=True,
@@ -227,13 +227,28 @@ def main():
     extras["seq_fps"] = round(seq_fps, 2)
     latency_extras(extras, "seq", fms_seq, sw_seq)
     seq_health = run_health(sys_seq, poses)
-    traj = sys_seq.trajectory_array()
-    ate_before = ate_rmse(traj, poses[:len(traj)])
     sys_seq.finalize()
-    ate_after = ate_rmse(sys_seq.optimized_trajectory_array(),
-                         poses[:len(sys_seq.all_frame_poses)])
-    if sys_seq.backend is not None and sys_seq.backend._graph is not None:
-        pg = sys_seq.backend.graph.pose_graph
+    extras["seq_ate"] = seq_health["ate"]
+    extras["seq_ate_after_final"] = round(float(ate_rmse(
+        sys_seq.optimized_trajectory_array(),
+        poses[:len(sys_seq.all_frame_poses)])), 5)
+
+    # ---- PGO payoff measurement: constraints accumulate but merges land
+    # only at finalize, so the track-time trajectory carries RAW drift and
+    # the final optimization's correction is visible. (With continuous
+    # merging — the production configuration, like the reference's
+    # optimization thread — before/after is near-degenerate because the
+    # graph is already converged when the final optimize runs.)
+    sys_d, _, _, _ = run_slam(cam, imgs, dep0, poses,
+                              base_config(mode="seq_defer"))
+    traj_d = sys_d.trajectory_array()
+    ate_before = ate_rmse(traj_d, poses[:len(traj_d)])
+    sys_d.finalize()
+    ate_after = ate_rmse(sys_d.optimized_trajectory_array(),
+                         poses[:len(sys_d.all_frame_poses)])
+    extras["pgo_defer_keyframes"] = len(sys_d.keyframes)
+    if sys_d.backend is not None and sys_d.backend._graph is not None:
+        pg = sys_d.backend.graph.pose_graph
         if pg.chi2_initial is not None:
             extras["pgo_chi2_initial"] = round(float(pg.chi2_initial), 1)
             extras["pgo_chi2_final"] = round(float(pg.chi2_final), 1)

@@ -204,6 +204,13 @@ class SystemConfig:
     # re-run constraint search over every keyframe before the final
     # optimization (== doFullReConstraintTrack, SlamSystem.cpp:332-350)
     full_reconstraint_on_finalize: bool = False
+    # Measurement mode: stage pose-graph results but do NOT merge them
+    # into the live pose tree until finalize — the track-time trajectory
+    # then shows raw accumulated drift, isolating how much the
+    # optimization corrects (the reference merges continuously,
+    # SlamSystem.cpp:176-202, which makes before/after comparisons
+    # near-degenerate; this flag exists for honest benchmarking)
+    defer_pgo_merge: bool = False
     # profiling mode: stage timers block until the device drains so the
     # numbers are true per-stage device cost, not dispatch windows
     profile_sync: bool = False

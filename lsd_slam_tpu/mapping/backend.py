@@ -93,6 +93,9 @@ class MappingBackend:
         """Apply staged graph-opt results (SlamSystem.cpp:176-202)."""
         if not self._have_unmerged or self._graph is None:
             return
+        if (self.system.cfg.system.defer_pgo_merge
+                and not getattr(self, "_finalizing", False)):
+            return  # measurement mode: merges land only at finalize
         needs_publish = False
         for kf in list(self.system.keyframes):
             if kf.pose.apply_graph_opt_result():
@@ -137,6 +140,7 @@ class MappingBackend:
 
     def finalize(self):
         """Final full optimization (SlamSystem.cpp:225-263)."""
+        self._finalizing = True
         self.wait_until_drained()
         self.stop_threads()
         if self._graph is None:

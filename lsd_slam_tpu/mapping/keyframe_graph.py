@@ -846,10 +846,20 @@ class KeyFrameGraph:
     # ------------------------------------------------------------ optimize
 
     def _push_poses_to_graph(self):
+        # g2o semantics (KeyFrameGraph.cpp:296-336): existing vertices KEEP
+        # their optimizer estimates across optimize() calls — only
+        # never-optimized vertices carry the live pose in. Re-pushing raw
+        # tracking poses every call would throw away the accumulated
+        # optimization state (and, with deferred merging, reset the final
+        # optimize to raw drift every slice).
         for kf in list(self.system.keyframes):
             vid = self.kf_to_vertex.get(kf.id)
-            if vid is not None and not kf.pose.is_optimized:
-                self.pose_graph.set_vertex(vid, kf.pose.cam_to_world())
+            if vid is None:
+                continue
+            pose = kf.pose
+            if pose.is_optimized or pose.has_unmerged_pose:
+                continue
+            self.pose_graph.set_vertex(vid, pose.cam_to_world())
 
     def _pull_poses_from_graph(self) -> float:
         max_change = 0.0
