@@ -105,6 +105,14 @@ class ConstraintThread:
         self._thread: Optional[threading.Thread] = None
         self._idle = threading.Event()
         self._idle.set()
+        # quiesce: pause the idle re-track densifier. The reference's
+        # retrack loop retries every 500 ms forever (SlamSystem.cpp:
+        # 305-310) on its own CPU core; here each retrack dispatches real
+        # device work, so a caller waiting for the back-end to drain (hz=0
+        # blocking, finalize, benches) would never see the chip go quiet.
+        # "Drained" therefore means quiescent: new keyframes resume the
+        # densifier.
+        self._quiesce = threading.Event()
         self._failed_to_retrack = 0
 
     def start(self):
@@ -125,9 +133,11 @@ class ConstraintThread:
         ok = self.queue.push(kf)
         if ok:
             self._idle.clear()
+            self._quiesce.clear()
         return ok
 
     def wait_until_drained(self, timeout: float = 120.0) -> bool:
+        self._quiesce.set()
         return self._idle.wait(timeout)
 
     def _idle_retrack(self) -> bool:
@@ -168,7 +178,8 @@ class ConstraintThread:
                 if self.queue.size() == 0:
                     did_something = False
                     try:
-                        did_something = self._idle_retrack()
+                        if not self._quiesce.is_set():
+                            did_something = self._idle_retrack()
                     finally:
                         if self.queue.size() == 0:
                             self._idle.set()
